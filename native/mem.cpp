@@ -78,8 +78,12 @@ std::vector<MemChain> mem_chain(const MemOpt &opt, const FMIdx &idx, int len,
     }
     l_rep += e - b;
   }
-  // chains keyed by pos in an ordered map (the reference's B-tree)
-  std::map<int64_t, MemChain> tree;
+  // chains keyed by pos in an ordered multimap (the reference's B-tree).
+  // Tie rule when several chains share pos: the most recently created one is
+  // probed (multimap keeps equal keys in insertion order; --upper_bound hits
+  // the last). bwa's kbtree leaves this unspecified; we pin it down so the
+  // device path can match exactly (docs/PARITY.md).
+  std::multimap<int64_t, MemChain> tree;
   for (auto &p : mem) {
     int slen = (int)((uint32_t)p.info - (p.info >> 32));
     int64_t step = p.s > opt.max_occ ? p.s / opt.max_occ : 1;

@@ -1,0 +1,267 @@
+"""Device seed chaining + chain filtering.
+
+Exact vectorized replication of [bwa: bwamem.c :: mem_chain, test_and_merge,
+mem_chain_flt, mem_chain_weight] (reference flow
+[ref: worker1/MemChain.scala, MemChainFilter.scala]): seeds are visited in
+SMEM order x occurrence order; each probes the most-recent chain whose pos is
+the greatest <= rbeg (the B-tree "lower" lookup; tie rule pinned in
+docs/PARITY.md) and merges or opens a new chain. Chain weights (query/ref
+coverage union) are accumulated online, which is exact because seeds arrive
+with non-decreasing qbeg/rbeg within a chain.
+
+Everything is (B reads) batch-parallel with a sequential fori over seed
+slots; per step the work is O(MAX_CHAINS) masked vector ops.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..index.device import DeviceIndex, sa_lookup
+
+NEG31 = jnp.int32(-(2**31) + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    max_seeds: int = 128
+    max_chains: int = 32
+    max_occ: int = 500
+    max_chain_gap: int = 10000
+    w: int = 100
+    min_seed_len: int = 19
+    mask_level: float = 0.50
+    drop_ratio: float = 0.50
+    max_chain_extend: int = 1 << 30
+    min_chain_weight: int = 0
+
+
+def pos2rid(didx: DeviceIndex, fwd_pos: jnp.ndarray) -> jnp.ndarray:
+    """[bwa: bntseq.c :: bns_pos2rid] via searchsorted over sequence ends."""
+    return jnp.searchsorted(didx.ann_end, fwd_pos, side="right").astype(
+        jnp.int32)
+
+
+def intv2rid(didx: DeviceIndex, rb: jnp.ndarray, ln: jnp.ndarray) -> jnp.ndarray:
+    """[bwa: bntseq.c :: bns_intv2rid]: -2 if bridging strands, -1 if
+    bridging sequences, else the sequence id."""
+    re = rb + ln
+    cross = (rb < didx.l_pac) & (re > didx.l_pac)
+    fb = jnp.where(rb >= didx.l_pac, 2 * didx.l_pac - 1 - rb, rb)
+    fe_pos = re - 1
+    fe = jnp.where(fe_pos >= didx.l_pac, 2 * didx.l_pac - 1 - fe_pos, fe_pos)
+    rid_b = pos2rid(didx, fb)
+    rid_e = pos2rid(didx, fe)
+    rid = jnp.where(rid_b == rid_e, rid_b, jnp.int32(-1))
+    return jnp.where(cross, jnp.int32(-2), rid)
+
+
+def _excl_cummax(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    inc = jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    pad = jnp.full_like(jnp.take(inc, jnp.array([0]), axis=axis), NEG31)
+    return jnp.concatenate(
+        [pad, jax.lax.slice_in_dim(inc, 0, x.shape[axis] - 1, axis=axis)],
+        axis=axis)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
+    """Expand SMEM intervals into located seeds (SA-resolved), bwa order.
+
+    Returns dict: rbeg, qbeg, len, rid (B, max_seeds); valid mask; l_rep (B,);
+    overflow (B,).
+    """
+    qb, qe, k, s, n = (smems[x] for x in ("qb", "qe", "k", "s", "n"))
+    B, M = qb.shape
+    slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+    vs = slot < n[:, None]
+    slen = qe - qb
+    step = jnp.where(s > cfg.max_occ, s // jnp.int32(cfg.max_occ), 1)
+    cnt = jnp.where(vs, jnp.minimum(s, cfg.max_occ), 0)
+
+    # frac_rep numerator [bwa: bwamem.c :: mem_chain]: union of repetitive
+    # SMEM spans; smems are sorted by (qb, qe) so a running max suffices
+    big = vs & (s > cfg.max_occ)
+    qe_rep = jnp.where(big, qe, NEG31)
+    prev_max = jnp.maximum(_excl_cummax(qe_rep), 0)
+    contrib = jnp.where(big, jnp.clip(qe - jnp.maximum(qb, prev_max), 0), 0)
+    l_rep = contrib.sum(axis=1).astype(jnp.int32)
+
+    # flatten (smem, occurrence) pairs into seed slots, preserving order
+    offs = jnp.cumsum(cnt, axis=1) - cnt          # exclusive prefix
+    total = cnt.sum(axis=1)
+    S = cfg.max_seeds
+    sid = jnp.arange(S, dtype=jnp.int32)[None, :]                  # (1, S)
+    # smem index owning each slot: #offs <= sid minus 1 over valid smems
+    own = ((offs[:, None, :] <= sid[:, :, None]) &
+           (cnt[:, None, :] > 0)).sum(axis=2) - 1                  # (B, S)
+    own_c = jnp.clip(own, 0, M - 1)
+    take = lambda a: jnp.take_along_axis(a, own_c, axis=1)
+    t = sid - take(offs)
+    seed_valid = (sid < total[:, None]) & (own >= 0) & \
+        (t < take(cnt))
+    rank = take(k) + t * take(step)
+    rbeg = sa_lookup(didx, jnp.where(seed_valid, rank, 1), seed_valid)
+    qbeg = take(qb)
+    ln = take(slen)
+    rid = intv2rid(didx, rbeg, ln)
+    rid = jnp.where(seed_valid, rid, -1)
+    overflow = smems["overflow"] | (total > S)
+    return dict(rbeg=jnp.where(seed_valid, rbeg, 0), qbeg=qbeg, len=ln,
+                rid=rid, valid=seed_valid & (rid >= 0), l_rep=l_rep,
+                overflow=overflow)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
+    """mem_chain: sequential insertion of seeds into pos-keyed chains."""
+    rbeg, qbeg, ln, valid = (seeds[x] for x in ("rbeg", "qbeg", "len",
+                                                "valid"))
+    rid_s = seeds["rid"]
+    B, S = rbeg.shape
+    C = cfg.max_chains
+    zi = lambda: jnp.zeros((B, C), jnp.int32)
+    st = dict(
+        pos=zi(), rid=zi() - 1, first_qb=zi(), first_rb=zi(), last_qb=zi(),
+        last_rb=zi(), last_len=zi(), end_q=zi(), w_q=zi(), end_r=zi(),
+        w_r=zi(), n=jnp.zeros((B,), jnp.int32),
+        chain_id=jnp.full((B, S), -1, jnp.int32),
+        overflow=seeds["overflow"],
+    )
+    l_pac = didx.l_pac
+    cidx_row = jnp.arange(C, dtype=jnp.int32)[None, :]
+    rows = jnp.arange(B)
+
+    def body(j, st):
+        sv = valid[:, j]
+        rb, qb2, ll, rd = rbeg[:, j], qbeg[:, j], ln[:, j], rid_s[:, j]
+        exists = cidx_row < st["n"][:, None]
+        cand = exists & (st["pos"] <= rb[:, None])
+        has = cand.any(axis=1)
+        maxpos = jnp.max(jnp.where(cand, st["pos"], NEG31), axis=1)
+        tie = cand & (st["pos"] == maxpos[:, None])
+        cidx = jnp.max(jnp.where(tie, cidx_row, -1), axis=1)  # newest chain
+        cidx_c = jnp.clip(cidx, 0, C - 1)
+        g = lambda a: a[rows, cidx_c]
+        # --- test_and_merge [bwa: bwamem.c :: test_and_merge] ---
+        same_rid = rd == g(st["rid"])
+        qend = g(st["last_qb"]) + g(st["last_len"])
+        rend = g(st["last_rb"]) + g(st["last_len"])
+        contained = (qb2 >= g(st["first_qb"])) & (qb2 + ll <= qend) & \
+            (rb >= g(st["first_rb"])) & (rb + ll <= rend)
+        strand_block = ((g(st["last_rb"]) < l_pac) |
+                        (g(st["first_rb"]) < l_pac)) & (rb >= l_pac)
+        x = qb2 - g(st["last_qb"])
+        y = rb - g(st["last_rb"])
+        chainable = (y >= 0) & (x - y <= cfg.w) & (y - x <= cfg.w) & \
+            (x - g(st["last_len"]) < cfg.max_chain_gap) & \
+            (y - g(st["last_len"]) < cfg.max_chain_gap)
+        m_noapp = sv & has & same_rid & contained
+        m_app = sv & has & same_rid & ~contained & ~strand_block & chainable
+        new = sv & ~(m_noapp | m_app)
+        room = st["n"] < C
+        nslot = jnp.where(new & room, st["n"], -1)
+        st["overflow"] = st["overflow"] | (new & ~room)
+
+        upd_at = jnp.where(m_app, cidx, nslot)          # -1 = no update
+        onehot = cidx_row == upd_at[:, None]            # (B, C)
+        def set_field(name, val_app, val_new):
+            v = jnp.where(m_app, val_app, val_new)
+            st[name] = jnp.where(onehot, v[:, None], st[name])
+        # last seed fields (both merge-append and new chain)
+        set_field("last_qb", qb2, qb2)
+        set_field("last_rb", rb, rb)
+        set_field("last_len", ll, ll)
+        # weight accumulators [bwa: bwamem.c :: mem_chain_weight], online
+        wq_add = jnp.where(qb2 >= g(st["end_q"]), ll,
+                           jnp.clip(qb2 + ll - g(st["end_q"]), 0))
+        wr_add = jnp.where(rb >= g(st["end_r"]), ll,
+                           jnp.clip(rb + ll - g(st["end_r"]), 0))
+        set_field("w_q", g(st["w_q"]) + wq_add, ll)
+        set_field("w_r", g(st["w_r"]) + wr_add, ll)
+        set_field("end_q", jnp.maximum(g(st["end_q"]), qb2 + ll), qb2 + ll)
+        set_field("end_r", jnp.maximum(g(st["end_r"]), rb + ll), rb + ll)
+        # new-chain-only fields
+        new_oh = onehot & new[:, None]
+        for name, val in (("pos", rb), ("rid", rd), ("first_qb", qb2),
+                          ("first_rb", rb)):
+            st[name] = jnp.where(new_oh, val[:, None], st[name])
+        st["n"] = st["n"] + (new & room).astype(jnp.int32)
+        # contained seeds (m_noapp) are absorbed but NOT stored [bwa:
+        # test_and_merge returns 1 without pushing], so they get no slot
+        assigned = jnp.where(m_app, cidx, jnp.where(new & room, nslot, -1))
+        st["chain_id"] = st["chain_id"].at[:, j].set(
+            jnp.where(sv, assigned, -1))
+        return st
+
+    st = jax.lax.fori_loop(0, S, body, st)
+    st["weight"] = jnp.minimum(
+        jnp.minimum(st["w_q"], st["w_r"]), jnp.int32(2**30 - 1))
+    return st
+
+
+@partial(jax.jit, static_argnums=(1,))
+def chain_filter(chains: dict, cfg: ChainConfig):
+    """mem_chain_flt: weight sort + overlap-based drop/shadow marking.
+
+    Returns: order (B, C) sorted chain indices, kept (B, C) in sorted order
+    (0=dropped, 1=shadowed-first, 2=kept-with-overlap, 3=primary-kept).
+    """
+    B, C = chains["pos"].shape
+    exists = jnp.arange(C, dtype=jnp.int32)[None, :] < chains["n"][:, None]
+    w = jnp.where(exists & (chains["weight"] >= cfg.min_chain_weight),
+                  chains["weight"], -1)
+    beg = chains["first_qb"]
+    end = chains["last_qb"] + chains["last_len"]
+    # stable sort: weight desc, then pos, then qbeg (bwa ties are unstable;
+    # this total order is mirrored by the oracle)
+    order = jnp.lexsort((beg, chains["pos"], -w), axis=1)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    w_s, beg_s, end_s = take(w), take(beg), take(end)
+    valid_s = w_s >= jnp.maximum(cfg.min_chain_weight, 0)
+    idxs = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    kept = jnp.where(valid_s & (idxs == 0), 3, 0)
+    first = jnp.full((B, C), -1, jnp.int32)
+
+    def body(i, carry):
+        kept, first = carry
+        vi = valid_s[:, i]
+        wi, bi, ei = w_s[:, i], beg_s[:, i], end_s[:, i]
+        in_kept = (idxs < i) & (kept >= 2)
+        b_max = jnp.maximum(beg_s, bi[:, None])
+        e_min = jnp.minimum(end_s, ei[:, None])
+        li = (ei - bi)[:, None]
+        lj = end_s - beg_s
+        min_l = jnp.minimum(li, lj)
+        sig = in_kept & (e_min > b_max) & \
+            ((e_min - b_max) >= min_l * cfg.mask_level) & \
+            (min_l < cfg.max_chain_gap)
+        dropc = sig & (wi[:, None] < w_s * cfg.drop_ratio) & \
+            ((w_s - wi[:, None]) >= 2 * cfg.min_seed_len)
+        bpos = jnp.min(jnp.where(dropc, idxs, C), axis=1)
+        considered = idxs <= bpos[:, None]
+        first = jnp.where(sig & considered & (first < 0) & vi[:, None],
+                          i, first)
+        large = (sig & considered).any(axis=1)
+        drop = bpos < C
+        ki = jnp.where(vi & ~drop, jnp.where(large, 2, 3), 0)
+        kept = kept.at[:, i].set(ki)
+        return kept, first
+
+    kept, first = jax.lax.fori_loop(1, C, body, (kept, first))
+    # chains pointed at by a kept chain's `first` become shadowed (kept=1),
+    # unconditionally, as in bwa
+    src = (kept >= 2) & (first >= 0)
+    tgt = jnp.where(src, first, C)  # scatter target; column C = dump slot
+    kept_pad = jnp.concatenate([kept, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    kept_pad = kept_pad.at[jnp.arange(B)[:, None], tgt].set(1, mode="drop")
+    kept = kept_pad[:, :C]
+    # max_chain_extend cap [bwa: the ++k >= opt->max_chain_extend loop]
+    shad = ((kept == 1) | (kept == 2)).astype(jnp.int32)
+    cum = jnp.cumsum(shad, axis=1)
+    kept = jnp.where((kept < 3) & (cum >= cfg.max_chain_extend), 0, kept)
+    return dict(order=order, kept=kept)

@@ -31,10 +31,12 @@ class DeviceIndex:
     occ_cp: jnp.ndarray        # int32[n_cp, 4]
     sa_samples: jnp.ndarray    # int32[n_samp]
     pac: jnp.ndarray           # uint8[ceil(l_pac/4)]
+    ann_end: jnp.ndarray       # int32[n_anns]: offset+length per sequence
 
     def tree_flatten(self):
         return ((self.L2, self.bwt_words, self.occ_cp, self.sa_samples,
-                 self.pac), (self.l_pac, self.primary, self.sa_intv))
+                 self.pac, self.ann_end), (self.l_pac, self.primary,
+                                           self.sa_intv))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -55,6 +57,9 @@ class DeviceIndex:
             occ_cp=jnp.asarray(idx.occ_cp.astype(np.int64), dtype=jnp.int32),
             sa_samples=jnp.asarray(idx.sa_samples, dtype=jnp.int32),
             pac=jnp.asarray(idx.pac, dtype=jnp.uint8),
+            ann_end=jnp.asarray(
+                np.array([a.offset + a.length for a in idx.anns]),
+                dtype=jnp.int32),
         )
 
 

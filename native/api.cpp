@@ -129,22 +129,30 @@ int tb_chains(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
   return (int)(h->i64.size() / 4);
 }
 
-// alignment regions: rows of 12 int64s
+// alignment regions: rows of 12 int64s. stage: 0 = pre-dedup (raw
+// chain2aln output), 1 = post-dedup, 2 = post-primary-marking
 int tb_regs(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
-            int64_t id, int mark_primary, const int64_t **rows) {
+            int64_t id, int stage, const int64_t **rows) {
   Handle *h = (Handle *)hp;
-  auto regs = mem_align1(*opt, h->idx, len, seq, id);
-  if (mark_primary) mem_mark_primary_se(*opt, &regs, id);
+  std::vector<AlnReg> regs;
+  if (stage == 0) {
+    auto chains = mem_chain(*opt, h->idx, len, seq);
+    mem_chain_flt(*opt, &chains);
+    for (auto &c : chains) mem_chain2aln(*opt, h->idx, len, seq, c, &regs);
+  } else {
+    regs = mem_align1(*opt, h->idx, len, seq, id);
+    if (stage >= 2) mem_mark_primary_se(*opt, &regs, id);
+  }
   h->i64.clear();
   for (auto &r : regs) {
     h->i64.push_back(r.rb);
     h->i64.push_back(r.re);
     h->i64.push_back(r.qb);
     h->i64.push_back(r.qe);
-    h->i64.push_back(r.rid);
+    h->i64.push_back(stage == 0 ? r.seedcov : r.rid);
     h->i64.push_back(r.score);
     h->i64.push_back(r.truesc);
-    h->i64.push_back(r.sub);
+    h->i64.push_back(stage == 0 ? r.seedlen0 : r.sub);
     h->i64.push_back(r.csub);
     h->i64.push_back(r.sub_n);
     h->i64.push_back(r.w);
@@ -152,6 +160,80 @@ int tb_regs(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
   }
   *rows = h->i64.data();
   return (int)regs.size();
+}
+
+// pre-dedup regions in the finish layout (rb,re,qb,qe,score,truesc,w,
+// seedcov,seedlen0,rid) + l_rep — used to substitute host-computed regions
+// for reads that overflowed the device caps in the PE path
+int tb_regs_pre(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
+                const int32_t **rows, int32_t *l_rep_out) {
+  Handle *h = (Handle *)hp;
+  auto chains = mem_chain(*opt, h->idx, len, seq);
+  double frac = chains.empty() ? 0. : chains[0].frac_rep;
+  *l_rep_out = (int32_t)(frac * len + .499);
+  mem_chain_flt(*opt, &chains);
+  std::vector<AlnReg> regs;
+  for (auto &c : chains) mem_chain2aln(*opt, h->idx, len, seq, c, &regs);
+  h->i32.clear();
+  for (auto &r : regs) {
+    h->i32.push_back((int32_t)r.rb);
+    h->i32.push_back((int32_t)r.re);
+    h->i32.push_back(r.qb);
+    h->i32.push_back(r.qe);
+    h->i32.push_back(r.score);
+    h->i32.push_back(r.truesc);
+    h->i32.push_back(r.w);
+    h->i32.push_back(r.seedcov);
+    h->i32.push_back(r.seedlen0);
+    h->i32.push_back(r.rid);
+  }
+  *rows = h->i32.data();
+  return (int)regs.size();
+}
+
+// Finishing path for device-computed regions: dedup + primary marking +
+// SAM emission on AlnRegs produced by the TPU worker1. This is the
+// production host half of the pipeline (ARCHITECTURE.md device/host split).
+// regs: flat (sum(n_regs), 10) int32 rows per read, fields
+// (rb, re, qb, qe, score, truesc, w, seedcov, seedlen0, rid).
+const char *tb_finish_se_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                             const int32_t *lens, const char **names,
+                             const char **quals, int n_reads, int stride,
+                             const int32_t *regs_flat, const int32_t *n_regs,
+                             const int32_t *l_rep, int64_t id0,
+                             const char *rg_id, int64_t *out_len) {
+  Handle *h = (Handle *)hp;
+  h->str.clear();
+  size_t off = 0;
+  for (int i = 0; i < n_reads; ++i) {
+    const uint8_t *seq = seqs + (size_t)i * stride;
+    int len = lens[i];
+    std::vector<AlnReg> regs(n_regs[i]);
+    for (int r = 0; r < n_regs[i]; ++r) {
+      const int32_t *row = regs_flat + (off + r) * 10;
+      AlnReg &a = regs[r];
+      a.rb = row[0];
+      a.re = row[1];
+      a.qb = row[2];
+      a.qe = row[3];
+      a.score = row[4];
+      a.truesc = row[5];
+      a.w = row[6];
+      a.seedcov = row[7];
+      a.seedlen0 = row[8];
+      a.rid = row[9];
+      a.frac_rep = (double)l_rep[i] / len;
+    }
+    off += n_regs[i];
+    mem_sort_dedup_patch(*opt, h->idx, seq, &regs);
+    mem_mark_primary_se(*opt, &regs, id0 + i);
+    h->str += mem_reg2sam_se(*opt, h->idx, names[i], len, seq,
+                             quals && quals[i] && quals[i][0] ? quals[i]
+                                                             : nullptr,
+                             &regs, 0, h->rnames, rg_id ? rg_id : "");
+  }
+  *out_len = (int64_t)h->str.size();
+  return h->str.c_str();
 }
 
 // single-end SAM for a batch of fixed-stride reads; returns blob in handle str
@@ -169,6 +251,106 @@ const char *tb_align_se_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
     h->str += mem_reg2sam_se(*opt, h->idx, names[i], len, seq,
                              quals && quals[i] && quals[i][0] ? quals[i] : nullptr,
                              &regs, 0, h->rnames, rg_id ? rg_id : "");
+  }
+  *out_len = (int64_t)h->str.size();
+  return h->str.c_str();
+}
+
+}  // extern "C"
+
+#include "pe.h"
+
+extern "C" {
+
+// Paired-end batch: reads interleaved (pair i = reads 2i, 2i+1).
+// Computes worker1 regions for all ends, per-batch insert statistics
+// [bwa: mem_pestat], then per-pair rescue/pairing/SAM [bwa: mem_sam_pe].
+// pes_out: 4 x (low, high, failed, avg, std) doubles (may be null).
+const char *tb_align_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                            const int32_t *lens, const char **names,
+                            const char **quals, int n_reads, int stride,
+                            int64_t id0, const char *rg_id, double *pes_out,
+                            int64_t *out_len) {
+  Handle *h = (Handle *)hp;
+  h->str.clear();
+  std::vector<std::vector<AlnReg>> regs(n_reads);
+  for (int i = 0; i < n_reads; ++i)
+    regs[i] = mem_align1(*opt, h->idx, lens[i], seqs + (size_t)i * stride,
+                         id0 + (i >> 1));
+  PeStat pes[4];
+  mem_pestat(*opt, h->idx.l_pac, regs, pes);
+  if (pes_out)
+    for (int d = 0; d < 4; ++d) {
+      pes_out[d * 5 + 0] = pes[d].low;
+      pes_out[d * 5 + 1] = pes[d].high;
+      pes_out[d * 5 + 2] = pes[d].failed;
+      pes_out[d * 5 + 3] = pes[d].avg;
+      pes_out[d * 5 + 4] = pes[d].std;
+    }
+  for (int i = 0; i + 1 < n_reads; i += 2) {
+    std::string name2[2] = {names[i], names[i + 1]};
+    int l2[2] = {lens[i], lens[i + 1]};
+    const uint8_t *s2[2] = {seqs + (size_t)i * stride,
+                            seqs + (size_t)(i + 1) * stride};
+    const char *q2[2] = {
+        quals && quals[i] && quals[i][0] ? quals[i] : nullptr,
+        quals && quals[i + 1] && quals[i + 1][0] ? quals[i + 1] : nullptr};
+    std::vector<AlnReg> a2[2] = {regs[i], regs[i + 1]};
+    std::string out2[2];
+    mem_sam_pe(*opt, h->idx, pes, id0 + (i >> 1), name2, l2, s2, q2, a2,
+               h->rnames, rg_id ? rg_id : "", out2);
+    h->str += out2[0];
+    h->str += out2[1];
+  }
+  *out_len = (int64_t)h->str.size();
+  return h->str.c_str();
+}
+
+// PE finishing on device-computed regions (the production path): same layout
+// as tb_finish_se_sam for regs, but pairs + pestat from a histogram.
+// hist4: 4 x (max_ins+1) int64 insert histogram (already psum'd across the
+// mesh on device) — or null to compute pestat from the regions directly.
+const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                             const int32_t *lens, const char **names,
+                             const char **quals, int n_reads, int stride,
+                             const int32_t *regs_flat, const int32_t *n_regs,
+                             const int32_t *l_rep, const int64_t *hist4,
+                             int max_ins_hist, int64_t id0, const char *rg_id,
+                             int64_t *out_len) {
+  Handle *h = (Handle *)hp;
+  h->str.clear();
+  std::vector<std::vector<AlnReg>> regs(n_reads);
+  size_t off = 0;
+  for (int i = 0; i < n_reads; ++i) {
+    regs[i].resize(n_regs[i]);
+    for (int r = 0; r < n_regs[i]; ++r) {
+      const int32_t *row = regs_flat + (off + r) * 10;
+      AlnReg &a = regs[i][r];
+      a.rb = row[0]; a.re = row[1]; a.qb = row[2]; a.qe = row[3];
+      a.score = row[4]; a.truesc = row[5]; a.w = row[6]; a.seedcov = row[7];
+      a.seedlen0 = row[8]; a.rid = row[9];
+      a.frac_rep = (double)l_rep[i] / lens[i];
+    }
+    off += n_regs[i];
+    mem_sort_dedup_patch(*opt, h->idx, seqs + (size_t)i * stride, &regs[i]);
+  }
+  PeStat pes[4];
+  if (hist4) mem_pestat_from_hist(*opt, hist4, max_ins_hist, pes);
+  else mem_pestat(*opt, h->idx.l_pac, regs, pes);
+  for (int i = 0; i + 1 < n_reads; i += 2) {
+    std::string name2[2] = {names[i], names[i + 1]};
+    int l2[2] = {lens[i], lens[i + 1]};
+    const uint8_t *s2[2] = {seqs + (size_t)i * stride,
+                            seqs + (size_t)(i + 1) * stride};
+    const char *q2[2] = {
+        quals && quals[i] && quals[i][0] ? quals[i] : nullptr,
+        quals && quals[i + 1] && quals[i + 1][0] ? quals[i + 1] : nullptr};
+    std::vector<AlnReg> a2[2] = {regs[i], regs[i + 1]};
+    std::string out2[2];
+    mem_sam_pe(*opt, h->idx, pes, id0 + (i >> 1), name2, l2, s2, q2, a2,
+               h->rnames, rg_id ? rg_id : "", out2);
+    h->str += out2[0];
+    h->str += out2[1];
   }
   *out_len = (int64_t)h->str.size();
   return h->str.c_str();

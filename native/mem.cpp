@@ -709,12 +709,11 @@ static int64_t get_rlen(const std::vector<uint32_t> &cigar) {
   return l;
 }
 
-static void aln2sam(const MemOpt &opt, const std::vector<std::string> &rnames,
-                    std::string *str, const std::string &name, int l_seq,
-                    const uint8_t *seq, const char *qual, int n_aln,
-                    const std::vector<Aln> &list, int which, const Aln *m,
-                    const std::string &rg_id) {
-  Aln p = list[which];  // copy: flags are modified below
+void aln2sam_one(const MemOpt &opt, const std::vector<std::string> &rnames,
+                 std::string *str, const std::string &name, int l_seq,
+                 const uint8_t *seq, const char *qual, const Aln &p_in,
+                 const Aln *m, int which, const std::string &rg_id) {
+  Aln p = p_in;  // copy: flags are modified below
   p.flag |= m ? 0x1 : 0;
   p.flag |= p.rid < 0 ? 0x4 : 0;
   p.flag |= m && m->rid < 0 ? 0x8 : 0;
@@ -817,11 +816,10 @@ static void aln2sam(const MemOpt &opt, const std::vector<std::string> &rnames,
     *str += p.xa;
   }
   *str += '\n';
-  (void)n_aln;
 }
 
 // XA strings for secondaries [bwa: bwamem_extra.c :: mem_gen_alt]
-static std::vector<std::string> gen_alt(const MemOpt &opt, const FMIdx &idx,
+std::vector<std::string> gen_alt(const MemOpt &opt, const FMIdx &idx,
                                         const std::vector<AlnReg> &a,
                                         int l_query, const uint8_t *query,
                                         const std::vector<std::string> &rnames) {
@@ -858,12 +856,21 @@ static std::vector<std::string> gen_alt(const MemOpt &opt, const FMIdx &idx,
   return alt;
 }
 
-std::string mem_reg2sam_se(const MemOpt &opt, const FMIdx &idx,
-                           const std::string &name, int l_query,
-                           const uint8_t *seq, const char *qual,
-                           std::vector<AlnReg> *av, int extra_flag,
-                           const std::vector<std::string> &rnames,
-                           const std::string &rg_id) {
+std::string gen_alt_for(const MemOpt &opt, const FMIdx &idx,
+                        const std::vector<AlnReg> &a, int l_query,
+                        const uint8_t *seq,
+                        const std::vector<std::string> &rnames, int pri) {
+  if (opt.flag & 0x8) return "";
+  auto alt = gen_alt(opt, idx, a, l_query, seq, rnames);
+  return pri >= 0 && pri < (int)alt.size() ? alt[pri] : "";
+}
+
+std::string mem_reg2sam_se_mate(const MemOpt &opt, const FMIdx &idx,
+                                const std::string &name, int l_query,
+                                const uint8_t *seq, const char *qual,
+                                std::vector<AlnReg> *av, int extra_flag,
+                                const std::vector<std::string> &rnames,
+                                const std::string &rg_id, const Aln *mate) {
   auto &a = *av;
   std::vector<std::string> XA;
   if (!(opt.flag & 0x8))  // MEM_F_ALL off: emit secondaries via XA
@@ -889,15 +896,24 @@ std::string mem_reg2sam_se(const MemOpt &opt, const FMIdx &idx,
   if (aa.empty()) {
     Aln t = mem_reg2aln(opt, idx, l_query, seq, nullptr);
     t.flag |= extra_flag;
-    std::vector<Aln> one{t};
-    aln2sam(opt, rnames, &str, name, l_query, seq, qual, 1, one, 0, nullptr,
-            rg_id);
+    aln2sam_one(opt, rnames, &str, name, l_query, seq, qual, t, mate, 0,
+                rg_id);
   } else {
     for (size_t k = 0; k < aa.size(); ++k)
-      aln2sam(opt, rnames, &str, name, l_query, seq, qual, (int)aa.size(), aa,
-              (int)k, nullptr, rg_id);
+      aln2sam_one(opt, rnames, &str, name, l_query, seq, qual, aa[k], mate,
+                  (int)k, rg_id);
   }
   return str;
+}
+
+std::string mem_reg2sam_se(const MemOpt &opt, const FMIdx &idx,
+                           const std::string &name, int l_query,
+                           const uint8_t *seq, const char *qual,
+                           std::vector<AlnReg> *av, int extra_flag,
+                           const std::vector<std::string> &rnames,
+                           const std::string &rg_id) {
+  return mem_reg2sam_se_mate(opt, idx, name, l_query, seq, qual, av,
+                             extra_flag, rnames, rg_id, nullptr);
 }
 
 }  // namespace tb

@@ -63,8 +63,26 @@ std::string mem_reg2sam_se(const MemOpt &opt, const FMIdx &idx,
                            std::vector<AlnReg> *a, int extra_flag,
                            const std::vector<std::string> &rnames,
                            const std::string &rg_id);
+std::string mem_reg2sam_se_mate(const MemOpt &opt, const FMIdx &idx,
+                                const std::string &name, int l_query,
+                                const uint8_t *seq, const char *qual,
+                                std::vector<AlnReg> *a, int extra_flag,
+                                const std::vector<std::string> &rnames,
+                                const std::string &rg_id, const Aln *mate);
 
 uint64_t hash_64(uint64_t key);
 int64_t cal_max_gap(const MemOpt &opt, int qlen);
+
+// single SAM record emission [bwa: mem_aln2sam]
+void aln2sam_one(const MemOpt &opt, const std::vector<std::string> &rnames,
+                 std::string *str, const std::string &name, int l_seq,
+                 const uint8_t *seq, const char *qual, const Aln &p,
+                 const Aln *mate, int which, const std::string &rg_id);
+
+// XA string for the region at index `pri` [bwa: mem_gen_alt]
+std::string gen_alt_for(const MemOpt &opt, const FMIdx &idx,
+                        const std::vector<AlnReg> &a, int l_query,
+                        const uint8_t *seq,
+                        const std::vector<std::string> &rnames, int pri);
 
 }  // namespace tb

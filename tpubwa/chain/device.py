@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..index.device import DeviceIndex, sa_lookup
 
-NEG31 = jnp.int32(-(2**31) + 1)
+NEG31 = -(2**31) + 1  # plain int: no backend init at import time
 
 
 @dataclasses.dataclass(frozen=True)

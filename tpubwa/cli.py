@@ -1,0 +1,148 @@
+"""Command-line interface — the analog of the reference's CLI driver
+[ref: BWAMEMSpark.scala :: main, commandline/]: ``index`` replaces the
+external ``bwa index`` dependency, ``align`` replaces the ``cs-bwamem``
+subcommand (and ``upload-fastq`` is unnecessary: batches stream from local
+FASTQ straight to the device).
+
+bwa-compatible algorithm flags use bwa's letters (-k/-w/-d/-r/-c/-A/-B/-O/
+-E/-L/-U/-T) [bwa: bwamem.c getopt loop].
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import __version__
+from .opts import MemOptions
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpubwa",
+                                description="TPU-native BWA-MEM-class aligner")
+    p.add_argument("--version", action="version", version=__version__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build an FM-index from FASTA")
+    pi.add_argument("fasta")
+    pi.add_argument("-o", "--output", required=True, help=".npz index path")
+    pi.add_argument("--sa-intv", type=int, default=32)
+
+    pa = sub.add_parser("align", help="align FASTQ reads, write SAM")
+    pa.add_argument("index", help=".npz index from `tpubwa index`")
+    pa.add_argument("fastq", nargs="+")
+    pa.add_argument("-o", "--output", default="-", help="SAM path (- stdout)")
+    pa.add_argument("-p", "--paired", action="store_true",
+                    help="interleaved paired-end input")
+    pa.add_argument("--batch-size", type=int, default=512)
+    pa.add_argument("--oracle", action="store_true",
+                    help="use the scalar host oracle instead of the device")
+    pa.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu, tpu)")
+    pa.add_argument("-R", "--read-group", default="",
+                    help="read group id (emitted as @RG / RG:Z)")
+    # bwa-compatible algorithm flags
+    pa.add_argument("-k", type=int, default=19, help="min seed length")
+    pa.add_argument("-w", type=int, default=100, help="band width")
+    pa.add_argument("-d", type=int, default=100, help="z-dropoff")
+    pa.add_argument("-r", type=float, default=1.5, help="reseed split factor")
+    pa.add_argument("-c", type=int, default=500, help="max seed occurrences")
+    pa.add_argument("-A", type=int, default=1, help="match score")
+    pa.add_argument("-B", type=int, default=4, help="mismatch penalty")
+    pa.add_argument("-O", type=int, default=6, help="gap open penalty")
+    pa.add_argument("-E", type=int, default=1, help="gap extend penalty")
+    pa.add_argument("-L", type=int, default=5, help="clipping penalty")
+    pa.add_argument("-U", type=int, default=17, help="unpaired penalty")
+    pa.add_argument("-T", type=int, default=30, help="min output score")
+    return p
+
+
+def opts_from_args(a) -> MemOptions:
+    return MemOptions(
+        min_seed_len=a.k, w=a.w, zdrop=a.d, split_factor=a.r, max_occ=a.c,
+        a=a.A, b=a.B, o_del=a.O, o_ins=a.O, e_del=a.E, e_ins=a.E,
+        pen_clip5=a.L, pen_clip3=a.L, pen_unpaired=a.U, T=a.T)
+
+
+def cmd_index(a) -> int:
+    from .index.builder import build_index
+    from .io.fastx import read_fasta
+    t0 = time.time()
+    seqs = read_fasta(a.fasta)
+    if not seqs:
+        print(f"error: no sequences in {a.fasta}", file=sys.stderr)
+        return 1
+    idx = build_index(seqs, sa_intv=a.sa_intv)
+    idx.save(a.output)
+    total = sum(s.length for s in idx.anns)
+    print(f"[tpubwa index] {len(idx.anns)} sequence(s), {total} bp, "
+          f"{time.time() - t0:.1f}s -> {a.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_align(a) -> int:
+    if a.platform:
+        import jax
+        jax.config.update("jax_platforms", a.platform)
+    from .index.builder import FMIndex
+    from .io.fastx import batch_reads, iter_fastq
+    from .pipeline import Aligner
+
+    opt = opts_from_args(a)
+    if a.paired:
+        opt = opt.replace(flag=opt.flag | MemOptions.F_PE)
+    idx = FMIndex.load(a.index)
+    aln = Aligner(idx, opt, rg_id=a.read_group)
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    t0 = time.time()
+    n_done = 0
+    try:
+        out.write(aln.sam_header())
+        pending = []
+        def flush():
+            nonlocal n_done
+            if not pending:
+                return
+            batch = batch_reads(pending)
+            if a.paired:
+                if a.oracle:
+                    sam, _ = aln.oracle.align_pe(batch, opt,
+                                                 id0=n_done // 2,
+                                                 rg_id=a.read_group)
+                else:
+                    sam = aln.align_pe(batch, id0=n_done // 2)
+                out.write(sam)
+            elif a.oracle:
+                out.write(aln.oracle.align_se(batch, opt, id0=n_done,
+                                              rg_id=a.read_group))
+            else:
+                out.write(aln.align_se(batch, id0=n_done))
+            n_done += len(pending)
+            pending.clear()
+        for path in a.fastq:
+            for rec in iter_fastq(path):
+                pending.append(rec)
+                if len(pending) >= a.batch_size and \
+                        (not a.paired or len(pending) % 2 == 0):
+                    flush()
+        flush()
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    dt = time.time() - t0
+    print(f"[tpubwa align] {n_done} reads in {dt:.1f}s "
+          f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.cmd == "index":
+        return cmd_index(a)
+    if a.cmd == "align":
+        return cmd_align(a)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,84 @@
+"""Device-mesh data parallelism — the shard_map replacement for Spark RDDs.
+
+The reference's only compute parallelism is data parallelism over reads
+(Spark partitions of FASTQ chunks, SURVEY.md §2.5); here a 1-D ``reads`` mesh
+axis shards the batch, the FM-index is replicated into every chip's HBM (the
+``sc.broadcast(bwaIdx)`` analog), and the one true cross-device reduction —
+pair-end insert-size statistics [bwa: bwamem_pair.c :: mem_pestat] — rides a
+``psum`` histogram over ICI instead of a driver collect+broadcast.
+
+Multi-host: per-host FASTQ shards feed the host's local devices; output SAM
+shards are written per host and concatenated deterministically by read id.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..chain.device import chain_filter, chain_seeds, seeds_from_smems
+from ..extend.worker import extend_chains
+from ..seed.device import collect_smems
+
+READS_AXIS = "reads"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def worker1_step(didx, seqs, lens, scfg, ccfg, ecfg):
+    """The full per-shard device step (seed -> chain -> filter -> extend)."""
+    smems = collect_smems(didx, seqs, lens, scfg)
+    seeds = seeds_from_smems(didx, smems, ccfg)
+    ch = chain_seeds(didx, seeds, ccfg)
+    flt = chain_filter(ch, ccfg)
+    st = extend_chains(didx, seqs, lens, seeds, ch, ecfg, flt)
+    return dict(
+        n=st["n"], overflow=st["overflow"], rb=st["rb"], re=st["re"],
+        qb=st["qb"], qe=st["qe"], score=st["score"], truesc=st["truesc"],
+        w=st["w"], seedcov=st["seedcov"], seedlen0=st["seedlen0"],
+        rid=st["rid"], l_rep=seeds["l_rep"],
+    )
+
+
+def worker1_sharded(mesh: Mesh, didx, seqs, lens, scfg, ccfg, ecfg):
+    """Data-parallel worker1 over the mesh: reads sharded, index replicated.
+
+    seqs: (B, L) with B divisible by mesh size. Returns the reg dict with
+    outputs sharded along the reads axis (device-resident).
+    """
+    spec_b = P(READS_AXIS)
+    repl = P()
+    fn = jax.jit(
+        partial(worker1_step, scfg=scfg, ccfg=ccfg, ecfg=ecfg),
+        in_shardings=(None, NamedSharding(mesh, spec_b),
+                      NamedSharding(mesh, spec_b)),
+        out_shardings=NamedSharding(mesh, spec_b),
+    )
+    return fn(didx, seqs, lens)
+
+
+def insert_size_psum(mesh: Mesh, inserts, valid, max_ins: int):
+    """Cross-chip insert-size histogram — the pestat all-reduce.
+
+    inserts/valid: (B,) sharded along reads. Returns the replicated global
+    histogram (max_ins+1,) int32, computed with a psum over the mesh
+    (replacing the reference's driver collect+broadcast).
+    """
+    def hist_fn(ins, ok):
+        clipped = jnp.clip(ins, 0, max_ins)
+        h = jnp.zeros((max_ins + 1,), jnp.int32).at[clipped].add(
+            ok.astype(jnp.int32))
+        return jax.lax.psum(h, READS_AXIS)
+
+    fn = jax.shard_map(hist_fn, mesh=mesh,
+                       in_specs=(P(READS_AXIS), P(READS_AXIS)),
+                       out_specs=P())
+    return fn(inserts, valid)

@@ -18,7 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(2**30))
+NEG = -(2**30)
 
 
 def _excl_cummax(x):

@@ -1,0 +1,359 @@
+"""Device seed-extension orchestration — exact mem_chain2aln semantics.
+
+Replicates [bwa: bwamem.c :: mem_chain2aln] over a batch of reads: chains are
+visited in filtered order, seeds within a chain longest-first; each seed is
+containment-tested against the regions found so far, and surviving seeds run
+left/right banded extensions (with bwa's band-doubling retry) through the
+batched kernel in tpubwa/extend/jax_extend.py. One extension round processes
+at most one seed per read, exactly preserving the scalar visit order; skipped
+seeds cost only vector ops. [ref: worker1/MemChainToAlign.scala]
+
+Output: per-read AlnReg arrays (push order identical to the oracle), handed
+to the native finishing path (dedup/primary/SAM) or the device finisher.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..index.device import DeviceIndex, text_base
+from .jax_extend import ksw_extend_batch
+
+NEG31 = -(2**31) + 1
+POS31 = 2**31 - 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ExtendConfig:
+    max_regs: int = 32
+    w: int = 100
+    zdrop: int = 100
+    a: int = 1
+    b: int = 4
+    o_del: int = 6
+    e_del: int = 1
+    o_ins: int = 6
+    e_ins: int = 1
+    pen_clip5: int = 5
+    pen_clip3: int = 5
+    max_band_try: int = 2
+
+
+def cal_max_gap(cfg: ExtendConfig, qlen):
+    """[bwa: bwamem.c :: cal_max_gap]; qlen may be traced or static."""
+    l_del = (qlen * cfg.a - cfg.o_del) // cfg.e_del + 1
+    l_ins = (qlen * cfg.a - cfg.o_ins) // cfg.e_ins + 1
+    if isinstance(qlen, int):
+        return min(max(l_del, l_ins, 1), cfg.w * 2)
+    l = jnp.maximum(jnp.maximum(l_del, l_ins), 1)
+    return jnp.minimum(l, 2 * cfg.w)
+
+
+def _seq_window(didx: DeviceIndex, start, length, cap: int):
+    """Gather text[start : start+length) into a (cap,) int32 row (pad 4)."""
+    idx = start + jnp.arange(cap, dtype=jnp.int32)
+    ok = jnp.arange(cap, dtype=jnp.int32) < length
+    base = text_base(didx, jnp.clip(idx, 0, 2 * didx.l_pac - 1))
+    return jnp.where(ok, base, 4)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
+                  cfg: ExtendConfig, flt: dict | None = None):
+    """Run mem_chain2aln for all kept chains of all reads.
+
+    seqs: (B, L) int32; lens: (B,); seeds/chains/flt from tpubwa.chain.device.
+    Returns dict of (B, max_regs) reg arrays + n (B,) + overflow (B,).
+    """
+    B, L = seqs.shape
+    S = seeds["rbeg"].shape[1]
+    C = chains["pos"].shape[1]
+    R = cfg.max_regs
+    WREF = L + 2 * cal_max_gap(cfg, L)
+    rows = jnp.arange(B)
+    l_pac = didx.l_pac
+
+    rbeg_s = seeds["rbeg"]
+    qbeg_s = seeds["qbeg"]
+    len_s = seeds["len"]
+    cid_s = chains["chain_id"]                       # (B, S), -1 = unstored
+    stored = cid_s >= 0
+
+    # ---- chain rank in filtered order; rank = C for dropped chains ----
+    order, kept = flt["order"], flt["kept"]          # (B, C) each
+    rank_of = jnp.full((B, C), C, jnp.int32)
+    pos_in_sorted = jnp.arange(C, dtype=jnp.int32)[None, :].repeat(B, 0)
+    rank_of = rank_of.at[rows[:, None], order].set(
+        jnp.where(kept > 0, pos_in_sorted, C))
+    seed_rank = jnp.where(stored, rank_of[rows[:, None], jnp.clip(cid_s, 0)],
+                          C)
+
+    # ---- rmax windows per chain [the max-possible-span computation] ----
+    gap_l = cal_max_gap(cfg, qbeg_s)
+    gap_r = cal_max_gap(cfg, lens[:, None] - qbeg_s - len_s)
+    bnd = rbeg_s - (qbeg_s + gap_l)
+    end = rbeg_s + len_s + (lens[:, None] - qbeg_s - len_s) + gap_r
+    big = jnp.int32(2**30)
+    rmax0 = jnp.full((B, C), big)
+    rmax1 = jnp.full((B, C), -big)
+    cid_c = jnp.clip(cid_s, 0, C - 1)
+    rmax0 = rmax0.at[rows[:, None], cid_c].min(
+        jnp.where(stored, bnd, big), mode="drop")
+    rmax1 = rmax1.at[rows[:, None], cid_c].max(
+        jnp.where(stored, end, -big), mode="drop")
+    rmax0 = jnp.clip(rmax0, 0)
+    rmax1 = jnp.minimum(rmax1, 2 * l_pac)
+    # strand-boundary split, decided by the chain's first seed
+    first_rb = chains["first_rb"]
+    crosses = (rmax0 < l_pac) & (l_pac < rmax1)
+    rmax1 = jnp.where(crosses & (first_rb < l_pac), l_pac, rmax1)
+    rmax0 = jnp.where(crosses & (first_rb >= l_pac), l_pac, rmax0)
+    # clip to the sequence holding the first seed, on its strand
+    # [bwa: bntseq.c :: bns_fetch_seq]
+    fpos = jnp.where(first_rb >= l_pac, 2 * l_pac - 1 - first_rb, first_rb)
+    rid_c = jnp.searchsorted(didx.ann_end, fpos, side="right").astype(
+        jnp.int32)
+    seq_b = jnp.where(rid_c > 0,
+                      didx.ann_end[jnp.clip(rid_c - 1, 0)], 0)
+    seq_e = didx.ann_end[jnp.clip(rid_c, 0, didx.ann_end.shape[0] - 1)]
+    is_rev_c = first_rb >= l_pac
+    lo = jnp.where(is_rev_c, 2 * l_pac - seq_e, seq_b)
+    hi = jnp.where(is_rev_c, 2 * l_pac - seq_b, seq_e)
+    rmax0 = jnp.maximum(rmax0, lo)
+    rmax1 = jnp.minimum(rmax1, hi)
+
+    # ---- processing order: (chain rank, len desc, slot desc) ----
+    key = seed_rank * (L + 1) * S + (L - len_s) * S + (S - 1 -
+                                                       jnp.arange(S)[None, :])
+    key = jnp.where(stored & (seed_rank < C), key, POS31)
+    pair_order = jnp.argsort(key, axis=1).astype(jnp.int32)   # (B, S)
+    n_pairs = (key < POS31).sum(axis=1).astype(jnp.int32)
+
+    st = dict(
+        ptr=jnp.zeros((B,), jnp.int32),
+        skipped=jnp.zeros((B, S), bool),
+        n=jnp.zeros((B,), jnp.int32),
+        overflow=chains["overflow"],
+        rb=jnp.zeros((B, R), jnp.int32), re=jnp.zeros((B, R), jnp.int32),
+        qb=jnp.zeros((B, R), jnp.int32), qe=jnp.zeros((B, R), jnp.int32),
+        score=jnp.zeros((B, R), jnp.int32),
+        truesc=jnp.zeros((B, R), jnp.int32),
+        w=jnp.zeros((B, R), jnp.int32),
+        seedcov=jnp.zeros((B, R), jnp.int32),
+        seedlen0=jnp.zeros((B, R), jnp.int32),
+        cid=jnp.full((B, R), -1, jnp.int32),
+        rid=jnp.full((B, R), -1, jnp.int32),
+    )
+
+    def cur_slot(st):
+        p = jnp.clip(st["ptr"], 0, S - 1)
+        return pair_order[rows, p], st["ptr"] < n_pairs
+
+    def containment_skip(st):
+        """True for reads whose CURRENT seed should be skipped (no SW)."""
+        slot, active = cur_slot(st)
+        sqb = qbeg_s[rows, slot]
+        srb = rbeg_s[rows, slot]
+        sln = len_s[rows, slot]
+        scid = cid_s[rows, slot]
+        ridx = jnp.arange(R)[None, :]
+        vr = ridx < st["n"][:, None]
+        cont = vr & (srb[:, None] >= st["rb"]) & \
+            (srb[:, None] + sln[:, None] <= st["re"]) & \
+            (sqb[:, None] >= st["qb"]) & \
+            (sqb[:, None] + sln[:, None] <= st["qe"])
+        len_ok = (sln[:, None] - st["seedlen0"]) * 10 <= lens[:, None]
+        qd = sqb[:, None] - st["qb"]
+        rd = srb[:, None] - st["rb"]
+        mg = cal_max_gap(cfg, jnp.minimum(qd, rd))
+        ww = jnp.minimum(mg, st["w"])
+        front = (qd - rd < ww) & (rd - qd < ww)
+        qd2 = st["qe"] - (sqb[:, None] + sln[:, None])
+        rd2 = st["re"] - (srb[:, None] + sln[:, None])
+        mg2 = cal_max_gap(cfg, jnp.minimum(qd2, rd2))
+        ww2 = jnp.minimum(mg2, st["w"])
+        back = (qd2 - rd2 < ww2) & (rd2 - qd2 < ww2)
+        around = (cont & len_ok & (front | back)).any(axis=1)
+        # overlapping-seed rescue scan within the same chain [the srt scan]
+        t_len, t_qb, t_rb = len_s, qbeg_s, rbeg_s
+        longer = (t_len > len_s[rows, slot][:, None]) | \
+            ((t_len == len_s[rows, slot][:, None]) &
+             (jnp.arange(S)[None, :] > slot[:, None]))
+        same_chain = cid_s == scid[:, None]
+        unskipped = ~st["skipped"]
+        c1 = (sqb[:, None] <= t_qb) & \
+            (sqb[:, None] + sln[:, None] - t_qb >= (sln[:, None] >> 2)) & \
+            (t_qb - sqb[:, None] != t_rb - srb[:, None])
+        c2 = (t_qb <= sqb[:, None]) & \
+            (t_qb + t_len - sqb[:, None] >= (sln[:, None] >> 2)) & \
+            (sqb[:, None] - t_qb != srb[:, None] - t_rb)
+        thr = (t_len * 100 >= sln[:, None] * 95)
+        rescue = (stored & same_chain & longer & unskipped & thr &
+                  (c1 | c2)).any(axis=1)
+        return active & around & ~rescue, active
+
+    # selection loop: advance past skippable seeds (no extension needed)
+    def sel_cond(st):
+        skip, active = containment_skip(st)
+        return jnp.any(skip)
+
+    def sel_body(st):
+        skip, active = containment_skip(st)
+        slot, _ = cur_slot(st)
+        st = dict(st)
+        st["skipped"] = st["skipped"].at[rows, slot].set(
+            st["skipped"][rows, slot] | skip)
+        st["ptr"] = st["ptr"] + skip.astype(jnp.int32)
+        return st
+
+    def run_extension(st):
+        slot, active = cur_slot(st)
+        sqb = qbeg_s[rows, slot]
+        srb = rbeg_s[rows, slot]
+        sln = len_s[rows, slot]
+        scid = jnp.clip(cid_s[rows, slot], 0, C - 1)
+        r0 = rmax0[rows, scid]
+        r1 = rmax1[rows, scid]
+
+        # ---- left extension: reversed query prefix / reversed ref window
+        do_l = active & (sqb > 0)
+        lq_len = jnp.where(do_l, sqb, 0)
+        lt_len = jnp.where(do_l, srb - r0, 0)
+        qi = jnp.arange(L, dtype=jnp.int32)[None, :]
+        lq = jnp.where(qi < lq_len[:, None],
+                       jnp.take_along_axis(
+                           seqs, jnp.clip(lq_len[:, None] - 1 - qi, 0), 1), 4)
+        ti = jnp.arange(WREF, dtype=jnp.int32)[None, :]
+        lt_pos = srb[:, None] - 1 - ti
+        lt = jnp.where(
+            ti < lt_len[:, None],
+            text_base(didx, jnp.clip(lt_pos, 0, 2 * l_pac - 1)), 4)
+        h0 = sln * cfg.a
+
+        def run_try(q, ql, t, tl, h, eb, act, prev0):
+            """bwa's band-doubling retry loop: try i+1 runs only if try i
+            changed the score (vs the score entering the try) AND its
+            max_off >= aw/2 + aw/4. prev0 is a->score entering try 0
+            (-1 for left extension, the post-left score for right)."""
+            outs = []
+            for i in range(cfg.max_band_try):
+                aw = cfg.w << i
+                res = ksw_extend_batch(
+                    q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+                    jnp.full((B,), eb, jnp.int32), act,
+                    jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
+                    cfg.o_ins, cfg.e_ins, cfg.zdrop)
+                outs.append((res, aw))
+            (sc, qle, tle, gtle, gsc, moff), aw0 = outs[0]
+            used_w = jnp.full((B,), aw0, jnp.int32)
+            prev_sc = prev0
+            for (res2, aw1) in outs[1:]:
+                retry = (sc != prev_sc) & (moff >= (aw0 >> 1) + (aw0 >> 2))
+                sc2, qle2, tle2, gtle2, gsc2, moff2 = res2
+                prev_sc = sc
+                sc = jnp.where(retry, sc2, sc)
+                qle = jnp.where(retry, qle2, qle)
+                tle = jnp.where(retry, tle2, tle)
+                gtle = jnp.where(retry, gtle2, gtle)
+                gsc = jnp.where(retry, gsc2, gsc)
+                moff = jnp.where(retry, moff2, moff)
+                used_w = jnp.where(retry, aw1, used_w)
+                aw0 = aw1
+            return sc, qle, tle, gtle, gsc, used_w
+
+        lsc, lqle, ltle, lgtle, lgsc, lw = run_try(
+            lq, lq_len, lt, lt_len, h0, cfg.pen_clip5, do_l,
+            jnp.full((B,), -1, jnp.int32))
+        to_end_l = do_l & (lgsc > 0) & (lgsc > lsc - cfg.pen_clip5)
+        # note bwa: local if gscore <= 0 or gscore <= score - pen_clip
+        qb_new = jnp.where(do_l, jnp.where(to_end_l, 0, sqb - lqle), 0)
+        rb_new = jnp.where(do_l,
+                           jnp.where(to_end_l, srb - lgtle, srb - ltle),
+                           srb)
+        score_l = jnp.where(do_l, lsc, sln * cfg.a)
+        truesc_l = jnp.where(do_l, jnp.where(to_end_l, lgsc, lsc),
+                             sln * cfg.a)
+        aw_l = jnp.where(do_l, lw, cfg.w)
+
+        # ---- right extension
+        qe0 = sqb + sln
+        do_r = active & (qe0 != lens)
+        rq_len = jnp.where(do_r, lens - qe0, 0)
+        rt_len = jnp.where(do_r, r1 - (srb + sln), 0)
+        rq = jnp.where(qi < rq_len[:, None],
+                       jnp.take_along_axis(seqs,
+                                           jnp.clip(qe0[:, None] + qi, 0,
+                                                    L - 1), 1), 4)
+        rt_pos = (srb + sln)[:, None] + ti
+        rt = jnp.where(ti < rt_len[:, None],
+                       text_base(didx, jnp.clip(rt_pos, 0, 2 * l_pac - 1)), 4)
+        rsc, rqle, rtle, rgtle, rgsc, rw = run_try(
+            rq, rq_len, rt, rt_len, score_l, cfg.pen_clip3, do_r, score_l)
+        to_end_r = do_r & (rgsc > 0) & (rgsc > rsc - cfg.pen_clip3)
+        # no right extension -> qe = l_query (seed already reaches the end)
+        qe_new = jnp.where(do_r, jnp.where(to_end_r, lens, qe0 + rqle), lens)
+        re_new = jnp.where(do_r,
+                           jnp.where(to_end_r, srb + sln + rgtle,
+                                     srb + sln + rtle),
+                           srb + sln)
+        score_f = jnp.where(do_r, rsc, score_l)
+        truesc_f = truesc_l + jnp.where(
+            do_r, jnp.where(to_end_r, rgsc, rsc) - score_l, 0)
+        aw_r = jnp.where(do_r, rw, cfg.w)
+
+        # ---- seedcov over this chain's stored seeds
+        incov = stored & (cid_s == cid_s[rows, slot][:, None]) & \
+            (qbeg_s >= qb_new[:, None]) & \
+            (qbeg_s + len_s <= qe_new[:, None]) & \
+            (rbeg_s >= rb_new[:, None]) & \
+            (rbeg_s + len_s <= re_new[:, None])
+        seedcov = jnp.where(incov, len_s, 0).sum(axis=1).astype(jnp.int32)
+
+        # ---- push reg
+        room = st["n"] < R
+        push = active
+        st = dict(st)
+        st["overflow"] = st["overflow"] | (push & ~room)
+        tgt = jnp.where(push & room, st["n"], R)
+        def put(name, val):
+            arr = jnp.concatenate(
+                [st[name], jnp.zeros((B, 1), st[name].dtype)], axis=1)
+            arr = arr.at[rows, tgt].set(val, mode="drop")
+            st[name] = arr[:, :R]
+        put("rb", rb_new)
+        put("re", re_new)
+        put("qb", qb_new)
+        put("qe", qe_new)
+        put("score", score_f)
+        put("truesc", truesc_f)
+        put("w", jnp.maximum(aw_l, aw_r))
+        put("seedcov", seedcov)
+        put("seedlen0", sln)
+        put("cid", cid_s[rows, slot])
+        put("rid", chains["rid"][rows, scid])
+        st["n"] = st["n"] + (push & room).astype(jnp.int32)
+        st["ptr"] = st["ptr"] + active.astype(jnp.int32)
+        return st
+
+    def outer_cond(st):
+        return jnp.any(st["ptr"] < n_pairs)
+
+    def outer_body(st):
+        st = jax.lax.while_loop(sel_cond, sel_body, st)
+        _, active = cur_slot(st)
+        return jax.lax.cond(jnp.any(active), run_extension, lambda s: s, st)
+
+    st = jax.lax.while_loop(outer_cond, outer_body, st)
+    return st
+
+
+def _scmat(cfg: ExtendConfig):
+    import numpy as np
+    m = np.full((5, 5), -1, dtype=np.int32)
+    for i in range(4):
+        for j in range(4):
+            m[i, j] = cfg.a if i == j else -cfg.b
+    return m

@@ -123,6 +123,29 @@ def _declare(lib: C.CDLL) -> None:
         C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
         C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
     ]
+    lib.tb_finish_se_sam.restype = C.c_void_p
+    lib.tb_finish_se_sam.argtypes = [
+        C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
+        C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
+        i32p, i32p, i32p, C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
+    ]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.tb_regs_pre.restype = C.c_int
+    lib.tb_regs_pre.argtypes = [C.c_void_p, C.POINTER(CMemOpt), u8p, C.c_int,
+                                C.POINTER(C.POINTER(C.c_int32)), i32p]
+    lib.tb_align_pe_sam.restype = C.c_void_p
+    lib.tb_align_pe_sam.argtypes = [
+        C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
+        C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
+        C.c_int64, C.c_char_p, f64p, C.POINTER(C.c_int64),
+    ]
+    lib.tb_finish_pe_sam.restype = C.c_void_p
+    lib.tb_finish_pe_sam.argtypes = [
+        C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
+        C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
+        i32p, i32p, i32p, C.c_void_p, C.c_int, C.c_int64, C.c_char_p,
+        C.POINTER(C.c_int64),
+    ]
 
 
 def ksw_extend(query, target, opt: MemOptions, w=None, end_bonus=0, h0=0,
@@ -220,14 +243,45 @@ class Oracle:
         return np.ctypeslib.as_array(rows, shape=(n, 4)).copy() if n else \
             np.empty((0, 4), dtype=np.int64)
 
-    def regs(self, seq, opt: MemOptions, read_id=0, mark_primary=False):
-        """AlnReg rows (rb,re,qb,qe,rid,score,truesc,sub,csub,sub_n,w,sec)."""
+    def regs(self, seq, opt: MemOptions, read_id=0, stage=1):
+        """AlnReg rows. stage 0: pre-dedup (rb,re,qb,qe,seedcov,score,
+        truesc,seedlen0,csub,sub_n,w,sec); stage 1: post-dedup; stage 2:
+        post-primary-marking (rid/sub in cols 4/7)."""
         seq = np.ascontiguousarray(seq, dtype=np.uint8)
         rows = C.POINTER(C.c_int64)()
         n = self._lib.tb_regs(self._h, C.byref(to_copt(opt)), seq, len(seq),
-                              read_id, 1 if mark_primary else 0, C.byref(rows))
+                              read_id, stage, C.byref(rows))
         return np.ctypeslib.as_array(rows, shape=(n, 12)).copy() if n else \
             np.empty((0, 12), dtype=np.int64)
+
+    def regs_pre(self, seq, opt: MemOptions):
+        """Pre-dedup regions in the device/finish 10-field layout + l_rep."""
+        seq = np.ascontiguousarray(seq, dtype=np.uint8)
+        rows = C.POINTER(C.c_int32)()
+        l_rep = np.zeros(1, dtype=np.int32)
+        n = self._lib.tb_regs_pre(self._h, C.byref(to_copt(opt)), seq,
+                                  len(seq), C.byref(rows), l_rep)
+        arr = (np.ctypeslib.as_array(rows, shape=(n, 10)).copy() if n
+               else np.empty((0, 10), dtype=np.int32))
+        return arr, int(l_rep[0])
+
+    def align_pe(self, batch, opt: MemOptions, id0=0, rg_id=""):
+        """Paired-end SAM for an interleaved ReadBatch (pair i = rows
+        2i, 2i+1). Returns (sam_text, pes) where pes is a (4, 5) array of
+        (low, high, failed, avg, std) per orientation FF/FR/RF/RR."""
+        opt = opt.replace(flag=opt.flag | MemOptions.F_PE)
+        seqs = np.ascontiguousarray(batch.seqs, dtype=np.uint8)
+        lens = np.ascontiguousarray(batch.lens, dtype=np.int32)
+        names = (C.c_char_p * batch.n)(*[n.encode() for n in batch.names])
+        quals = (C.c_char_p * batch.n)(
+            *[(q or "").encode() for q in batch.quals])
+        pes = np.zeros((4, 5), dtype=np.float64)
+        out_len = C.c_int64(0)
+        ptr = self._lib.tb_align_pe_sam(
+            self._h, C.byref(to_copt(opt)), seqs, lens, names, quals,
+            batch.n, seqs.shape[1], id0, rg_id.encode(),
+            np.ascontiguousarray(pes.reshape(-1)), C.byref(out_len))
+        return C.string_at(ptr, out_len.value).decode(), pes
 
     def align_se(self, batch, opt: MemOptions, id0=0, rg_id="") -> str:
         """Full single-end SAM body text for a ReadBatch."""

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..index.device import DeviceIndex, backward_ext
 
-NEG = jnp.int32(-1)
+NEG = -1
 
 
 @dataclasses.dataclass(frozen=True)

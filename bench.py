@@ -18,10 +18,10 @@ sys.path.insert(0, str(REPO))
 
 BASELINE_READS_PER_S = 250_000.0
 GENOME_LEN = 4_600_000
-N_READS = 4096
+N_READS = 8192
 READ_LEN = 100
-BATCH = 1024
-TIMED_BATCHES = 4
+BATCH = 4096
+TIMED_BATCHES = 2
 
 
 def get_index():
@@ -29,7 +29,8 @@ def get_index():
     from tpubwa.index.builder import FMIndex, build_index
     from tpubwa.utils import dna
 
-    cache = REPO / "build" / f"bench_index_{GENOME_LEN}.npz"
+    from tpubwa.index.builder import DEFAULT_SA_INTV
+    cache = REPO / "build" / f"bench_index_{GENOME_LEN}_sa{DEFAULT_SA_INTV}.npz"
     if cache.exists():
         return FMIndex.load(cache)
     rng = np.random.default_rng(2024)

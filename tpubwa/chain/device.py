@@ -37,6 +37,11 @@ class ChainConfig:
     drop_ratio: float = 0.50
     max_chain_extend: int = 1 << 30
     min_chain_weight: int = 0
+    # budget of SA-resolved seeds per read ON AVERAGE across the batch: the
+    # invPsi walk runs on a dense (B*sa_dense,) array so dead lanes don't
+    # burn gather bandwidth; batches whose total seed count exceeds the
+    # budget overflow the affected reads to the host oracle
+    sa_dense: int = 8
 
 
 def pos2rid(didx: DeviceIndex, fwd_pos: jnp.ndarray) -> jnp.ndarray:
@@ -104,12 +109,29 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     seed_valid = (sid < total[:, None]) & (own >= 0) & \
         (t < take(cnt))
     rank = take(k) + t * take(step)
-    rbeg = sa_lookup(didx, jnp.where(seed_valid, rank, 1), seed_valid)
+    # --- dense compaction before the invPsi walk: pack live lanes into a
+    # (B*sa_dense,) array so walk iterations only pay for real seeds ---
+    D = B * cfg.sa_dense
+    fv = seed_valid.reshape(-1)
+    fr = jnp.where(fv, rank.reshape(-1), 1)
+    gpos = jnp.cumsum(fv) - 1
+    in_budget = fv & (gpos < D)
+    dest = jnp.where(in_budget, gpos, D)
+    dense_rank = jnp.ones((D + 1,), jnp.int32).at[dest].set(
+        jnp.where(in_budget, fr, 1), mode="drop")
+    dense_live = jnp.zeros((D + 1,), bool).at[dest].set(in_budget,
+                                                        mode="drop")
+    dense_sa = sa_lookup(didx, dense_rank[:D], dense_live[:D])
+    dense_sa = jnp.concatenate([dense_sa, jnp.zeros((1,), jnp.int32)])
+    rbeg = jnp.where(in_budget, dense_sa[jnp.minimum(gpos, D)], 0)
+    rbeg = rbeg.reshape(B, S)
+    over_budget = (fv & ~in_budget).reshape(B, S).any(axis=1)
+    seed_valid = seed_valid & in_budget.reshape(B, S)
     qbeg = take(qb)
     ln = take(slen)
     rid = intv2rid(didx, rbeg, ln)
     rid = jnp.where(seed_valid, rid, -1)
-    overflow = smems["overflow"] | (total > S)
+    overflow = smems["overflow"] | (total > S) | over_budget
     return dict(rbeg=jnp.where(seed_valid, rbeg, 0), qbeg=qbeg, len=ln,
                 rid=rid, valid=seed_valid & (rid >= 0), l_rep=l_rep,
                 overflow=overflow)

@@ -4,9 +4,11 @@ The HBM analog of the reference's broadcast ``BWAIdxType`` (SURVEY.md §1 L3):
 one replicated copy per chip (sharded mode for >1 Gbp genomes lives in
 tpubwa/dist). All coordinates int32 — valid while 2*l_pac < 2**31.
 
-occ(k, c) = checkpoint gather + SWAR popcount over <=4 uint32 BWT words,
-semantics identical to [bwa: bwt.c :: bwt_occ] including the sentinel-row
-index shift (see tpubwa/index/builder.py for the layout).
+Performance-critical layout decision (SURVEY.md §7 "FM-index gather
+bandwidth"): occ checkpoints and the BWT words of their 64-base block are
+FUSED into one 32-byte row (``occ_fused[cp, 0:4]`` = counts, ``[4:8]`` =
+packed 2-bit bases), so every occ query and every invPsi step costs exactly
+ONE row gather. Semantics identical to [bwa: bwt.c :: bwt_occ, bwt_invPsi].
 """
 from __future__ import annotations
 
@@ -27,14 +29,13 @@ class DeviceIndex:
     primary: int               # static
     sa_intv: int               # static
     L2: jnp.ndarray            # int32[5]
-    bwt_words: jnp.ndarray     # uint32[n_words]
-    occ_cp: jnp.ndarray        # int32[n_cp, 4]
+    occ_fused: jnp.ndarray     # uint32[n_cp, 8]: cp counts + block words
     sa_samples: jnp.ndarray    # int32[n_samp]
     pac: jnp.ndarray           # uint8[ceil(l_pac/4)]
     ann_end: jnp.ndarray       # int32[n_anns]: offset+length per sequence
 
     def tree_flatten(self):
-        return ((self.L2, self.bwt_words, self.occ_cp, self.sa_samples,
+        return ((self.L2, self.occ_fused, self.sa_samples,
                  self.pac, self.ann_end), (self.l_pac, self.primary,
                                            self.sa_intv))
 
@@ -48,13 +49,17 @@ class DeviceIndex:
             raise NotImplementedError(
                 "int32 device index supports genomes < 1 Gbp; "
                 "use the sharded-index mode (tpubwa.dist) for larger")
+        n_cp = idx.occ_cp.shape[0]
+        words = np.zeros(n_cp * 4, dtype=np.uint32)
+        words[: len(idx.bwt_words)] = idx.bwt_words
+        fused = np.concatenate(
+            [idx.occ_cp.astype(np.uint32), words.reshape(n_cp, 4)], axis=1)
         return DeviceIndex(
             l_pac=int(idx.l_pac),
             primary=int(idx.primary),
             sa_intv=int(idx.sa_intv),
             L2=jnp.asarray(idx.L2, dtype=jnp.int32),
-            bwt_words=jnp.asarray(idx.bwt_words, dtype=jnp.uint32),
-            occ_cp=jnp.asarray(idx.occ_cp.astype(np.int64), dtype=jnp.int32),
+            occ_fused=jnp.asarray(fused),
             sa_samples=jnp.asarray(idx.sa_samples, dtype=jnp.int32),
             pac=jnp.asarray(idx.pac, dtype=jnp.uint8),
             ann_end=jnp.asarray(
@@ -72,39 +77,42 @@ def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _eq_bits(words: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """Per-2-bit-slot equality mask: bit 2*j set iff slot j == c.
-
-    words: uint32[...]; c broadcastable int32 in {0..3}.
-    """
+    """Per-2-bit-slot equality mask: bit 2*j set iff slot j == c."""
     pat = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))
     x = words ^ pat
     neq = (x | (x >> 1)) & jnp.uint32(0x55555555)
     return neq ^ jnp.uint32(0x55555555)
 
 
-def occ_prefix(didx: DeviceIndex, n: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of base c in stored-BWT[0, n). Vectorized over n/c.
+def _count_first(words: jnp.ndarray, c: jnp.ndarray,
+                 m: jnp.ndarray) -> jnp.ndarray:
+    """Count of base c in the first m (0..64) bases of a 4-word block.
 
-    n: int32[...] in [0, 2*l_pac]; c: int32[...] in {0..3}.
+    words: (..., 4) uint32; c: (...); m: (...).
     """
-    cp_idx = n >> 6
-    partial_n = n & 63  # bases past the checkpoint
-    cp = didx.occ_cp[cp_idx, c]
-    # gather the 4 words of this block: word index = cp_idx*4 + [0..3]
-    widx = cp_idx[..., None] * 4 + jnp.arange(4, dtype=n.dtype)
-    words = didx.bwt_words[widx]                       # (..., 4) uint32
     eq = _eq_bits(words, c[..., None])
-    # valid slots per word: clamp(partial - w*16, 0, 16)
-    valid = jnp.clip(partial_n[..., None] - jnp.arange(4, dtype=n.dtype) * 16,
-                     0, 16)
-    full = valid >= 16
+    valid = jnp.clip(m[..., None] - jnp.arange(4, dtype=m.dtype) * 16, 0, 16)
     mask = jnp.where(
-        full,
+        valid >= 16,
         jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << (2 * valid).astype(jnp.uint32)) - jnp.uint32(1),
     )
-    cnt = _popcount32(eq & mask).sum(axis=-1)
-    return cp + cnt
+    return _popcount32(eq & mask).sum(axis=-1)
+
+
+def _row_cp(row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Checkpoint count for base c from a fused row (..., 8)."""
+    return jnp.take_along_axis(
+        row[..., 0:4], c[..., None].astype(jnp.int32), axis=-1
+    )[..., 0].astype(jnp.int32)
+
+
+def occ_prefix(didx: DeviceIndex, n: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """#occurrences of base c in stored-BWT[0, n). ONE fused-row gather."""
+    r = jnp.maximum(n - 1, 0) >> 6
+    row = didx.occ_fused[r]                    # (..., 8)
+    m = n - r * 64                             # in [0, 64]
+    return _row_cp(row, c) + _count_first(row[..., 4:8], c, m)
 
 
 def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -115,7 +123,10 @@ def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 def bwt_base(didx: DeviceIndex, j: jnp.ndarray) -> jnp.ndarray:
     """Stored-BWT base at position j (int32)."""
-    word = didx.bwt_words[j >> 4]
+    row = didx.occ_fused[j >> 6]
+    word = jnp.take_along_axis(
+        row[..., 4:8], ((j >> 4) & 3)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
     return ((word >> (2 * (j & 15)).astype(jnp.uint32)) &
             jnp.uint32(3)).astype(jnp.int32)
 
@@ -124,22 +135,28 @@ def backward_ext(didx: DeviceIndex, k: jnp.ndarray, s: jnp.ndarray,
                  c: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Backward extension of interval (k, s) by base c (k-side only).
 
-    [bwa: bwt.c :: bwt_extend is_back=1, single base] — the l-side is not
-    tracked (only needed for bidirectional search; the per-end formulation
-    in tpubwa/seed avoids it, see ARCHITECTURE.md).
+    [bwa: bwt.c :: bwt_extend is_back=1, single base]. The two occ queries
+    are stacked into one gather batch.
     """
-    occ_lo = occ1(didx, k - 1, c)
-    occ_hi = occ1(didx, k - 1 + s, c)
-    k2 = didx.L2[c] + 1 + occ_lo
-    s2 = occ_hi - occ_lo
+    ks = jnp.stack([k - 1, k - 1 + s], axis=0)
+    occ = occ1(didx, ks, jnp.stack([c, c], axis=0))
+    k2 = didx.L2[c] + 1 + occ[0]
+    s2 = occ[1] - occ[0]
     return k2, s2
 
 
 def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
-    """LF step on conceptual rank [bwa: bwt.c :: bwt_invPsi]."""
+    """LF step on conceptual rank [bwa: bwt.c :: bwt_invPsi] — one gather:
+    the BWT base at x and its occ count come from the same fused row."""
     x = k - (k > didx.primary).astype(k.dtype)
-    c = bwt_base(didx, x)
-    res = didx.L2[c] + occ1(didx, k, c)
+    row = didx.occ_fused[x >> 6]
+    word = jnp.take_along_axis(
+        row[..., 4:8], ((x >> 4) & 3)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    c = ((word >> (2 * (x & 15)).astype(jnp.uint32)) &
+         jnp.uint32(3)).astype(jnp.int32)
+    cnt = _row_cp(row, c) + _count_first(row[..., 4:8], c, (x & 63) + 1)
+    res = didx.L2[c] + cnt
     return jnp.where(k == didx.primary, 0, res)
 
 
@@ -148,7 +165,7 @@ def sa_lookup(didx: DeviceIndex, k: jnp.ndarray,
     """Batched bwt_sa: walk invPsi until a sampled rank [bwa: bwt.c :: bwt_sa].
 
     k: int32[...] conceptual ranks; valid: bool[...] lanes to resolve.
-    Lockstep over at most sa_intv-1 steps.
+    Lockstep until every live lane hits a sampled rank.
     """
     mask = didx.sa_intv - 1
 

@@ -1,0 +1,82 @@
+"""SAM sort/merge/manifest utilities + CLI shard-resume flow."""
+import numpy as np
+
+from tpubwa.index.builder import build_index
+from tpubwa.io import fastx
+from tpubwa.io.sam import Manifest, coordinate_sort, merge_shards
+from tpubwa.opts import MemOptions
+from tpubwa.oracle import Oracle
+from tpubwa.utils import dna
+
+
+def make_world():
+    rng = np.random.default_rng(55)
+    genome = dna.decode(rng.integers(0, 4, 9000).astype(np.uint8))
+    idx = build_index([("cA", genome[:5000]), ("cB", genome[5000:])])
+    return idx, Oracle(idx), dna.encode(genome)
+
+
+def test_sort_and_merge(tmp_path):
+    idx, orc, fwd = make_world()
+    opt = MemOptions()
+    recs = fastx.simulate_reads(fwd, 30, read_len=100, seed=1)
+    hdr = "@SQ\tSN:cA\tLN:5000\n@SQ\tSN:cB\tLN:4000\n"
+    full = hdr + orc.align_se(fastx.batch_reads(recs), opt, id0=0)
+    s1 = hdr + orc.align_se(fastx.batch_reads(recs[:13]), opt, id0=0)
+    s2 = hdr + orc.align_se(fastx.batch_reads(recs[13:]), opt, id0=13)
+    p1, p2 = tmp_path / "a.sam", tmp_path / "b.sam"
+    p1.write_text(s1)
+    p2.write_text(s2)
+    out = tmp_path / "m.sam"
+    n = merge_shards([p1, p2], out, sort=False)
+    assert n == 30
+    merged = out.read_text()
+    assert merged == full  # shard merge == single run
+    srt = coordinate_sort(merged)
+    lines = [l.split("\t") for l in srt.splitlines() if not l.startswith("@")]
+    keys = [(l[2], int(l[3])) for l in lines]
+    rids = {"cA": 0, "cB": 1}
+    assert keys == sorted(keys, key=lambda k: (rids[k[0]], k[1]))
+    assert srt.startswith("@HD\tVN:1.6\tSO:coordinate")
+
+
+def test_manifest_resume(tmp_path):
+    m = Manifest(tmp_path / "man.jsonl")
+    assert not m.is_done(0)
+    m.mark(0, 512, "shard0")
+    m.mark(2, 512, "shard2")
+    m2 = Manifest(tmp_path / "man.jsonl")
+    assert m2.is_done(0) and m2.is_done(2) and not m2.is_done(1)
+
+
+def test_cli_shard_resume(tmp_path):
+    import subprocess, sys, os
+    idx, orc, fwd = make_world()
+    fa = tmp_path / "g.fa"
+    fa.write_text(">cA\n" + dna.decode(fwd[:5000]) + "\n>cB\n" +
+                  dna.decode(fwd[5000:]) + "\n")
+    fq = tmp_path / "r.fq"
+    fastx.write_fastq(fq, fastx.simulate_reads(fwd, 20, read_len=100, seed=2))
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [str(__import__("pathlib").Path(__file__).parents[1])] +
+        os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    npz = tmp_path / "g.npz"
+    r = subprocess.run([sys.executable, "-m", "tpubwa", "index", str(fa),
+                        "-o", str(npz)], env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr
+    sd = tmp_path / "shards"
+    cmd = [sys.executable, "-m", "tpubwa", "align", str(npz), str(fq),
+           "--oracle", "--platform", "cpu", "--batch-size", "8",
+           "--shard-dir", str(sd)]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    shards = sorted(sd.glob("shard_*.sam"))
+    assert len(shards) == 3  # 8 + 8 + 4
+    # delete one shard's manifest effect? simulate resume: rerun, batches skip
+    r2 = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r2.returncode == 0
+    assert "batch" not in r2.stderr  # all batches skipped via manifest
+    out = tmp_path / "final.sam"
+    merge_shards([sd / "header.sam"] + shards, out)
+    text = out.read_text()
+    assert text.count("\n") == 3 + 20  # header lines + records

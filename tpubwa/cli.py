@@ -54,6 +54,19 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("-L", type=int, default=5, help="clipping penalty")
     pa.add_argument("-U", type=int, default=17, help="unpaired penalty")
     pa.add_argument("-T", type=int, default=30, help="min output score")
+    pa.add_argument("--shard-dir", default=None,
+                    help="write per-batch SAM shards + resume manifest here "
+                         "instead of one file; re-running skips completed "
+                         "batches")
+
+    ps = sub.add_parser("sort", help="coordinate-sort a SAM file")
+    ps.add_argument("sam")
+    ps.add_argument("-o", "--output", required=True)
+
+    pm = sub.add_parser("merge", help="merge SAM shards (optionally sort)")
+    pm.add_argument("shards", nargs="+")
+    pm.add_argument("-o", "--output", required=True)
+    pm.add_argument("--sort", action="store_true")
     return p
 
 
@@ -93,32 +106,67 @@ def cmd_align(a) -> int:
         opt = opt.replace(flag=opt.flag | MemOptions.F_PE)
     idx = FMIndex.load(a.index)
     aln = Aligner(idx, opt, rg_id=a.read_group)
-    out = sys.stdout if a.output == "-" else open(a.output, "w")
+
+    manifest = None
+    shard_dir = None
+    if a.shard_dir:
+        from pathlib import Path
+        from .io.sam import Manifest
+        shard_dir = Path(a.shard_dir)
+        shard_dir.mkdir(parents=True, exist_ok=True)
+        manifest = Manifest(shard_dir / "manifest.jsonl")
+        (shard_dir / "header.sam").write_text(aln.sam_header())
+        out = None
+    else:
+        out = sys.stdout if a.output == "-" else open(a.output, "w")
+
     t0 = time.time()
     n_done = 0
+    batch_no = 0
     try:
-        out.write(aln.sam_header())
+        if out is not None:
+            out.write(aln.sam_header())
         pending = []
-        def flush():
-            nonlocal n_done
-            if not pending:
-                return
-            batch = batch_reads(pending)
+
+        def run_batch(batch, id0):
             if a.paired:
                 if a.oracle:
-                    sam, _ = aln.oracle.align_pe(batch, opt,
-                                                 id0=n_done // 2,
+                    sam, _ = aln.oracle.align_pe(batch, opt, id0=id0 // 2,
                                                  rg_id=a.read_group)
                 else:
-                    sam = aln.align_pe(batch, id0=n_done // 2)
-                out.write(sam)
-            elif a.oracle:
-                out.write(aln.oracle.align_se(batch, opt, id0=n_done,
-                                              rg_id=a.read_group))
+                    sam = aln.align_pe(batch, id0=id0 // 2)
+                return sam
+            if a.oracle:
+                return aln.oracle.align_se(batch, opt, id0=id0,
+                                           rg_id=a.read_group)
+            return aln.align_se(batch, id0=id0)
+
+        def flush():
+            nonlocal n_done, batch_no
+            if not pending:
+                return
+            tb = time.time()
+            if manifest is not None and manifest.is_done(batch_no):
+                n_done += len(pending)
+                batch_no += 1
+                pending.clear()
+                return
+            batch = batch_reads(pending)
+            sam = run_batch(batch, n_done)
+            if manifest is not None:
+                shard = shard_dir / f"shard_{batch_no:06d}.sam"
+                shard.write_text(sam)
+                manifest.mark(batch_no, len(pending), str(shard))
             else:
-                out.write(aln.align_se(batch, id0=n_done))
+                out.write(sam)
+            dt = time.time() - tb
+            print(f"[tpubwa align] batch {batch_no}: {len(pending)} reads "
+                  f"in {dt:.2f}s ({len(pending) / max(dt, 1e-9):.0f} "
+                  f"reads/s)", file=sys.stderr)
             n_done += len(pending)
+            batch_no += 1
             pending.clear()
+
         for path in a.fastq:
             for rec in iter_fastq(path):
                 pending.append(rec)
@@ -127,11 +175,26 @@ def cmd_align(a) -> int:
                     flush()
         flush()
     finally:
-        if out is not sys.stdout:
+        if out is not None and out is not sys.stdout:
             out.close()
     dt = time.time() - t0
-    print(f"[tpubwa align] {n_done} reads in {dt:.1f}s "
+    print(f"[tpubwa align] total {n_done} reads in {dt:.1f}s "
           f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+    return 0
+
+
+def cmd_sort(a) -> int:
+    from pathlib import Path
+    from .io.sam import coordinate_sort
+    Path(a.output).write_text(coordinate_sort(Path(a.sam).read_text()))
+    return 0
+
+
+def cmd_merge(a) -> int:
+    from .io.sam import merge_shards
+    n = merge_shards(a.shards, a.output, sort=a.sort)
+    print(f"[tpubwa merge] {len(a.shards)} shards, {n} records -> "
+          f"{a.output}", file=sys.stderr)
     return 0
 
 
@@ -141,6 +204,10 @@ def main(argv=None) -> int:
         return cmd_index(a)
     if a.cmd == "align":
         return cmd_align(a)
+    if a.cmd == "sort":
+        return cmd_sort(a)
+    if a.cmd == "merge":
+        return cmd_merge(a)
     return 2
 
 

@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for batched banded extension (ksw_extend2 semantics).
+
+The speed-of-light version of tpubwa/extend/jax_extend.py (which remains the
+bit-exact reference and CPU fallback): one kernel invocation processes the
+whole task batch; DP state (eh arrays + per-task band/max scalars) lives in
+VMEM for the entire row loop, so HBM traffic is inputs+outputs only. Tasks
+run across sublanes, query columns across lanes; the insertion chain F is a
+log-step max-plus scan along lanes.
+
+Semantics contract: identical (score, qle, tle, gtle, gscore, max_off) to
+native/ksw.cpp :: ksw_extend2 — enforced by tests against both the oracle
+and the JAX reference kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2**30)
+LANES = 128  # query columns per task (Q+1 <= LANES)
+
+
+def _lane_shift_right(x, sh, fill):
+    """Shift along the lane axis (last dim): out[..., j] = x[..., j-sh]."""
+    rolled = jnp.roll(x, sh, axis=1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(jj < sh, fill, rolled)
+
+
+def _excl_cummax_lanes(a):
+    """Exclusive running max along lanes via log-step doubling."""
+    x = _lane_shift_right(a, 1, NEG)
+    sh = 1
+    while sh < LANES:
+        x = jnp.maximum(x, _lane_shift_right(x, sh, NEG))
+        sh <<= 1
+    return x
+
+
+def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, o_del, e_del, o_ins,
+            e_ins, zdrop, a_sc, b_sc):
+    N = q_ref.shape[0]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
+    qlen = scal_ref[:, 0:1]
+    tlen = scal_ref[:, 1:2]
+    h0 = scal_ref[:, 2:3]
+    w_in = scal_ref[:, 3:4]
+    eb = scal_ref[:, 4:5]
+    valid = scal_ref[:, 5:6] != 0
+
+    q = q_ref[:, :]                           # (N, LANES) int32 codes
+
+    # band clip [bwa: max_ins/max_del adjustment]
+    max_ins = jnp.maximum((qlen * a_sc + eb - o_ins) // e_ins + 1, 1)
+    max_del = jnp.maximum((qlen * a_sc + eb - o_del) // e_del + 1, 1)
+    w = jnp.minimum(jnp.minimum(w_in, max_ins), max_del)
+
+    # first eh row (index-shifted: eh_h[j] = H(i-1, j-1))
+    eh_h0 = jnp.where(jj == 0, h0, jnp.maximum(h0 - o_ins - e_ins * jj, 0))
+    eh_h0 = jnp.where(jj <= qlen, eh_h0, 0)
+    eh_e0 = jnp.zeros((N, LANES), jnp.int32)
+
+    z = jnp.zeros((N, 1), jnp.int32)
+    init = (jnp.zeros((N, 1), jnp.int32),      # i
+            eh_h0, eh_e0,
+            z,                                  # beg
+            qlen,                               # end
+            h0,                                 # mx
+            z - 1, z - 1, z - 1,                # max_i, max_j, max_ie
+            z - 1,                              # gscore
+            z,                                  # max_off
+            (~valid | (qlen <= 0) | (tlen <= 0)).astype(jnp.int32))  # done
+
+    def cond(st):
+        i, *_, done = st
+        return jnp.any((done == 0) & (i < tlen))
+
+    def body(st):
+        (i, eh_h, eh_e, beg0, end0, mx0, max_i0, max_j0, max_ie0, gscore0,
+         max_off0, done) = st
+        live = (done == 0) & (i < tlen)
+        beg = jnp.maximum(beg0, i - w)
+        end = jnp.minimum(jnp.minimum(end0, i + w + 1), qlen)
+        # target column i per task
+        isafe = jnp.clip(i, 0, T - 1)
+        tc = jnp.take_along_axis(t_ref[:, :], isafe, axis=1)  # (N, 1)
+        # match score without a table gather
+        S = jnp.where((tc == q) & (tc < 4) & (q < 4), a_sc,
+                      jnp.where((tc > 3) | (q > 3), -1, -b_sc))
+        in_band = (jj >= beg) & (jj < end)
+
+        M = jnp.where(eh_h != 0, eh_h + S, 0)
+        M = jnp.where(in_band, M, NEG)
+        h1_init = jnp.where(beg == 0,
+                            jnp.maximum(h0 - (o_del + e_del * (i + 1)), 0), 0)
+        e = jnp.where(in_band, eh_e, NEG)
+        g = jnp.where(in_band, jnp.maximum(M - oe_ins, 0), NEG)
+        A = g + e_ins * jj
+        f = _excl_cummax_lanes(A) - e_ins * (jj - 1)
+        f = jnp.maximum(jnp.where(jj > beg, f, 0), 0)
+        f = jnp.where(in_band, f, 0)
+        h = jnp.maximum(jnp.maximum(M, e), f)
+        h_band = jnp.where(in_band, h, NEG)
+        e_next = jnp.maximum(jnp.maximum(M - oe_del, 0), e - e_del)
+        e_next = jnp.where(in_band, e_next, eh_e)
+
+        mm = jnp.max(jnp.where(in_band, h_band, 0), axis=1, keepdims=True)
+        is_max = in_band & (h_band == mm) & (mm > 0)
+        mj = jnp.max(jnp.where(is_max, jj, -1), axis=1, keepdims=True)
+
+        # eh write-back with the index shift
+        h_sh = _lane_shift_right(h_band, 1, 0)
+        upd_h = (jj >= beg) & (jj <= end)
+        eh_h_new = jnp.where(
+            upd_h, jnp.where(jj == beg, h1_init, h_sh), eh_h)
+        upd_e = (jj >= beg) & (jj < end)
+        eh_e_new = jnp.where(upd_e, e_next, eh_e)
+        eh_e_new = jnp.where(jj == end, 0, eh_e_new)
+
+        # to-query-end score: H(i, end-1)
+        h1_last_v = jnp.max(
+            jnp.where(jj == jnp.maximum(end - 1, 0), h_band, NEG), axis=1,
+            keepdims=True)
+        h1_last = jnp.where(end > beg, h1_last_v, h1_init)
+        reach = end == qlen
+        new_ie = jnp.where(reach & (h1_last >= gscore0), i, max_ie0)
+        new_gs = jnp.where(reach, jnp.maximum(gscore0, h1_last), gscore0)
+
+        done_now = mm == 0
+        better = mm > mx0
+        mx = jnp.where(better, mm, mx0)
+        max_i = jnp.where(better, i, max_i0)
+        max_j = jnp.where(better, mj, max_j0)
+        max_off = jnp.where(better,
+                            jnp.maximum(max_off0, jnp.abs(mj - i)), max_off0)
+        di = i - max_i0
+        dj = mj - max_j0
+        zd = jnp.where(di > dj,
+                       mx0 - mm - (di - dj) * e_del > zdrop,
+                       mx0 - mm - (dj - di) * e_ins > zdrop)
+        done_now = done_now | ((better == 0) & (zdrop > 0) & zd)
+
+        # live-band shrink over updated eh in [beg, end]
+        alive = (eh_h_new != 0) | (eh_e_new != 0)
+        scan_lo = alive & (jj >= beg) & (jj < end)
+        beg2 = jnp.min(jnp.where(scan_lo, jj, end), axis=1, keepdims=True)
+        beg2 = jnp.minimum(beg2, end)
+        scan_hi = alive & (jj >= beg2) & (jj <= end)
+        last_live = jnp.max(jnp.where(scan_hi, jj, beg2 - 1), axis=1,
+                            keepdims=True)
+        end2 = jnp.minimum(last_live + 2, qlen)
+
+        # freeze finished tasks
+        frz = lambda new, old: jnp.where(live, new, old)
+        frz2 = lambda new, old: jnp.where(live, new, old)
+        return (frz(i + 1, i), frz2(eh_h_new, eh_h), frz2(eh_e_new, eh_e),
+                frz(beg2, beg0), frz(end2, end0), frz(mx, mx0),
+                frz(max_i, max_i0), frz(max_j, max_j0), frz(new_ie, max_ie0),
+                frz(new_gs, gscore0), frz(max_off, max_off0),
+                jnp.where(live, done | done_now.astype(jnp.int32), done))
+
+    st = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _) = st
+    out = jnp.concatenate(
+        [mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off], axis=1)
+    out_ref[:, :] = out
+
+
+@partial(jax.jit,
+         static_argnames=("o_del", "e_del", "o_ins", "e_ins", "zdrop",
+                          "a_sc", "b_sc", "interpret"))
+def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
+                      o_del=6, e_del=1, o_ins=6, e_ins=1, zdrop=100,
+                      a_sc=1, b_sc=4, interpret=False):
+    """query: (N, Q<=127) int; target: (N, T) int; scalars (N,).
+
+    Returns (N, 6) int32: score, qle, tle, gtle, gscore, max_off — exact
+    ksw_extend2 semantics with the bwa 5x5 matrix (match a, mismatch -b,
+    N scores -1).
+    """
+    N, Q = query.shape
+    T = target.shape[1]
+    qpad = jnp.full((N, LANES), 4, jnp.int32)
+    qpad = qpad.at[:, :Q].set(query.astype(jnp.int32))
+    tpad = target.astype(jnp.int32)
+    scal = jnp.stack([qlen.astype(jnp.int32), tlen.astype(jnp.int32),
+                      h0.astype(jnp.int32), w.astype(jnp.int32),
+                      end_bonus.astype(jnp.int32),
+                      valid.astype(jnp.int32)], axis=1)
+    kernel = partial(_kernel, T=T, o_del=o_del, e_del=e_del, o_ins=o_ins,
+                     e_ins=e_ins, zdrop=zdrop, a_sc=a_sc, b_sc=b_sc)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, 6), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qpad, tpad, scal)
+    return out

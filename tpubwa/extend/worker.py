@@ -40,6 +40,7 @@ class ExtendConfig:
     pen_clip5: int = 5
     pen_clip3: int = 5
     max_band_try: int = 2
+    use_pallas: bool = False  # TPU: run the VMEM-resident Pallas SW kernel
 
 
 def cal_max_gap(cfg: ExtendConfig, qlen):
@@ -241,11 +242,20 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
             outs = []
             for i in range(cfg.max_band_try):
                 aw = cfg.w << i
-                res = ksw_extend_batch(
-                    q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
-                    jnp.full((B,), eb, jnp.int32), act,
-                    jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
-                    cfg.o_ins, cfg.e_ins, cfg.zdrop)
+                if cfg.use_pallas:
+                    from ..ops.sw_pallas import ksw_extend_pallas
+                    o = ksw_extend_pallas(
+                        q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+                        jnp.full((B,), eb, jnp.int32), act,
+                        cfg.o_del, cfg.e_del, cfg.o_ins, cfg.e_ins,
+                        cfg.zdrop, cfg.a, cfg.b)
+                    res = tuple(o[:, c] for c in range(6))
+                else:
+                    res = ksw_extend_batch(
+                        q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+                        jnp.full((B,), eb, jnp.int32), act,
+                        jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
+                        cfg.o_ins, cfg.e_ins, cfg.zdrop)
                 outs.append((res, aw))
             (sc, qle, tle, gtle, gsc, moff), aw0 = outs[0]
             used_w = jnp.full((B,), aw0, jnp.int32)

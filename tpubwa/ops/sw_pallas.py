@@ -22,7 +22,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -(2**30)
-LANES = 128  # query columns per task (Q+1 <= LANES)
 
 
 def _lane_shift_right(x, sh, fill):
@@ -36,14 +35,14 @@ def _excl_cummax_lanes(a):
     """Exclusive running max along lanes via log-step doubling."""
     x = _lane_shift_right(a, 1, NEG)
     sh = 1
-    while sh < LANES:
+    while sh < a.shape[1]:
         x = jnp.maximum(x, _lane_shift_right(x, sh, NEG))
         sh <<= 1
     return x
 
 
-def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, o_del, e_del, o_ins,
-            e_ins, zdrop, a_sc, b_sc):
+def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del, e_del,
+            o_ins, e_ins, zdrop, a_sc, b_sc):
     N = q_ref.shape[0]
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
     jj = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
@@ -87,9 +86,12 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, o_del, e_del, o_ins,
         live = (done == 0) & (i < tlen)
         beg = jnp.maximum(beg0, i - w)
         end = jnp.minimum(jnp.minimum(end0, i + w + 1), qlen)
-        # target column i per task
+        # target column i per task — Mosaic has no per-row lane gather, so
+        # select via one-hot compare + row max (T is small)
         isafe = jnp.clip(i, 0, T - 1)
-        tc = jnp.take_along_axis(t_ref[:, :], isafe, axis=1)  # (N, 1)
+        tt = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
+        tc = jnp.max(jnp.where(tt == isafe, t_ref[:, :], -1), axis=1,
+                     keepdims=True)
         # match score without a table gather
         S = jnp.where((tc == q) & (tc < 4) & (q < 4), a_sc,
                       jnp.where((tc > 3) | (q > 3), -1, -b_sc))
@@ -141,9 +143,9 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, o_del, e_del, o_ins,
                             jnp.maximum(max_off0, jnp.abs(mj - i)), max_off0)
         di = i - max_i0
         dj = mj - max_j0
-        zd = jnp.where(di > dj,
-                       mx0 - mm - (di - dj) * e_del > zdrop,
-                       mx0 - mm - (dj - di) * e_ins > zdrop)
+        # int select then one compare (Mosaic can't select between bools)
+        zpen = jnp.where(di > dj, (di - dj) * e_del, (dj - di) * e_ins)
+        zd = (mx0 - mm - zpen) > zdrop
         done_now = done_now | ((better == 0) & (zdrop > 0) & zd)
 
         # live-band shrink over updated eh in [beg, end]
@@ -186,6 +188,7 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
     """
     N, Q = query.shape
     T = target.shape[1]
+    LANES = max(128, ((Q + 1 + 127) // 128) * 128)
     qpad = jnp.full((N, LANES), 4, jnp.int32)
     qpad = qpad.at[:, :Q].set(query.astype(jnp.int32))
     tpad = target.astype(jnp.int32)
@@ -193,15 +196,32 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
                       h0.astype(jnp.int32), w.astype(jnp.int32),
                       end_bonus.astype(jnp.int32),
                       valid.astype(jnp.int32)], axis=1)
-    kernel = partial(_kernel, T=T, o_del=o_del, e_del=e_del, o_ins=o_ins,
-                     e_ins=e_ins, zdrop=zdrop, a_sc=a_sc, b_sc=b_sc)
+    kernel = partial(_kernel, T=T, LANES=LANES, o_del=o_del, e_del=e_del,
+                     o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, a_sc=a_sc,
+                     b_sc=b_sc)
+    # tile tasks across the grid so DP state fits in VMEM
+    tile = min(N, 256 * 128 // LANES)  # VMEM: loop state + body temporaries
+    if N % tile:
+        pad_n = tile - N % tile
+        qpad = jnp.concatenate(
+            [qpad, jnp.full((pad_n, LANES), 4, jnp.int32)])
+        tpad = jnp.concatenate([tpad, jnp.full((pad_n, T), 4, jnp.int32)])
+        scal = jnp.concatenate([scal, jnp.zeros((pad_n, 6), jnp.int32)])
+    Np = qpad.shape[0]
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N, 6), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(Np // tile,),
+        out_shape=jax.ShapeDtypeStruct((Np, 6), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, T), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 6), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 6), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qpad, tpad, scal)
-    return out
+    return out[:N]

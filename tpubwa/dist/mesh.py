@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chain.device import chain_filter, chain_seeds, seeds_from_smems
 from ..extend.worker import extend_chains
-from ..seed.device import collect_smems
+from ..seed.anchor import collect_smems_anchor
 
 READS_AXIS = "reads"
 
@@ -35,7 +35,7 @@ def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
 
 def worker1_step(didx, seqs, lens, scfg, ccfg, ecfg):
     """The full per-shard device step (seed -> chain -> filter -> extend)."""
-    smems = collect_smems(didx, seqs, lens, scfg)
+    smems = collect_smems_anchor(didx, seqs, lens, scfg)
     seeds = seeds_from_smems(didx, smems, ccfg)
     ch = chain_seeds(didx, seeds, ccfg)
     flt = chain_filter(ch, ccfg)

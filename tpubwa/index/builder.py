@@ -33,6 +33,23 @@ BASES_PER_WORD = 16
 DEFAULT_SA_INTV = 8   # denser than bwa (32): HBM is plentiful, invPsi walks are latency-bound
 
 
+def suffix_array(text: np.ndarray) -> np.ndarray:
+    """Suffix array via the native linear-time SA-IS (native/sais.cpp);
+    falls back to numpy prefix-doubling if the native library is
+    unavailable. Both implement the identical contract."""
+    n = len(text)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    try:
+        from ..oracle import get_lib
+        lib = get_lib()
+        sa = np.empty(n, dtype=np.int64)
+        lib.tb_sais(np.ascontiguousarray(text, dtype=np.uint8), n, sa)
+        return sa
+    except Exception:
+        return suffix_array_doubling(text)
+
+
 def suffix_array_doubling(text: np.ndarray) -> np.ndarray:
     """Suffix array of ``text`` (codes, implicit terminal $ < everything).
 
@@ -184,7 +201,7 @@ def build_index(
     text = np.concatenate([fwd, dna.revcomp(fwd)])
     n = len(text)  # 2 * l_pac
 
-    sa = suffix_array_doubling(text)
+    sa = suffix_array(text)
 
     # primary: conceptual rank (in the 2L+1-row matrix) of suffix starting at 0
     primary = int(np.flatnonzero(sa == 0)[0]) + 1

@@ -115,6 +115,21 @@ def occ_prefix(didx: DeviceIndex, n: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray
     return _row_cp(row, c) + _count_first(row[..., 4:8], c, m)
 
 
+def occ4_all(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
+    """occ of all 4 bases at conceptual index k inclusive — ONE gather,
+    four popcount passes over the same fused row [bwa: bwt_2occ4]."""
+    n = jnp.where(k < 0, 0, k + 1 - (k >= didx.primary).astype(k.dtype))
+    n = jnp.maximum(n, 0)
+    r = jnp.maximum(n - 1, 0) >> 6
+    row = didx.occ_fused[r]
+    m = n - r * 64
+    words = row[..., 4:8]
+    cnts = jnp.stack(
+        [_count_first(words, jnp.full_like(m, c), m) for c in range(4)],
+        axis=-1)
+    return row[..., 0:4].astype(jnp.int32) + cnts
+
+
 def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """bwa bwt_occ: count of c in stored-BWT[0..k] inclusive, conceptual k."""
     n = jnp.where(k < 0, 0, k + 1 - (k >= didx.primary).astype(k.dtype))

@@ -130,6 +130,8 @@ def _declare(lib: C.CDLL) -> None:
         i32p, i32p, i32p, C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
     ]
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+    lib.tb_sais.restype = C.c_int
+    lib.tb_sais.argtypes = [u8p, C.c_int64, i64p]
     lib.tb_regs_pre.restype = C.c_int
     lib.tb_regs_pre.argtypes = [C.c_void_p, C.POINTER(CMemOpt), u8p, C.c_int,
                                 C.POINTER(C.POINTER(C.c_int32)), i32p]

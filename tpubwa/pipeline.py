@@ -27,7 +27,7 @@ from .index.device import DeviceIndex
 from .io.fastx import ReadBatch
 from .opts import MemOptions
 from .oracle import Oracle, to_copt
-from .seed.device import SeedConfig, collect_smems
+from .seed.anchor import AnchorSeedConfig, collect_smems_anchor
 
 REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
               "seedlen0", "rid")
@@ -35,8 +35,10 @@ REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
 
 def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                       max_chains=32, max_regs=32):
-    scfg = SeedConfig(max_smems=max_smems, min_seed_len=opt.min_seed_len,
-                      split_len=opt.split_len, split_width=opt.split_width)
+    scfg = AnchorSeedConfig(max_smems=max_smems,
+                            min_seed_len=opt.min_seed_len,
+                            split_len=opt.split_len,
+                            split_width=opt.split_width)
     ccfg = ChainConfig(max_seeds=max_seeds, max_chains=max_chains,
                        max_occ=opt.max_occ, max_chain_gap=opt.max_chain_gap,
                        w=opt.w, min_seed_len=opt.min_seed_len,
@@ -67,7 +69,7 @@ class Aligner:
 
     def worker1_device(self, seqs: jnp.ndarray, lens: jnp.ndarray):
         """Device half: returns the reg-state dict from extend_chains."""
-        smems = collect_smems(self.didx, seqs, lens, self.scfg)
+        smems = collect_smems_anchor(self.didx, seqs, lens, self.scfg)
         seeds = seeds_from_smems(self.didx, smems, self.ccfg)
         ch = chain_seeds(self.didx, seeds, self.ccfg)
         flt = chain_filter(ch, self.ccfg)
@@ -92,7 +94,7 @@ class Aligner:
         return self._packed_fn(self.didx, seqs, lens)
 
     def worker1_device_inner(self, didx, seqs, lens):
-        smems = collect_smems(didx, seqs, lens, self.scfg)
+        smems = collect_smems_anchor(didx, seqs, lens, self.scfg)
         seeds = seeds_from_smems(didx, smems, self.ccfg)
         ch = chain_seeds(didx, seeds, self.ccfg)
         flt = chain_filter(ch, self.ccfg)

@@ -1,0 +1,316 @@
+"""Anchor-based SMEM seeding — bwa's own algorithm, batched as a lockstep
+state machine.
+
+Exact port of [bwa: bwt.c :: bwt_smem1a (max_intv=0); bwamem.c ::
+mem_collect_intv]: per read, anchors advance to the end of the longest
+forward match; each anchor runs a bidirectional forward pass (collecting the
+interval stack on size changes) and a backward pass (emitting maximal
+intervals); round 2 re-seeds long low-occ SMEMs from their midpoint with
+min_intv = occ+1.
+
+Why this replaces seed/device.py's per-end walk as the default: the per-end
+formulation does Theta(L^2/2) occ queries per clean read (every suffix walks
+to its start); the anchor algorithm does ~2L. Measured 10-50x less gather
+traffic — and FM-index gather bandwidth is the whole seeding game
+(SURVEY.md §7). The per-end module remains as an independent implementation
+used to cross-check this one in tests.
+
+Every read advances one state-machine step per lockstep iteration:
+  PH_ANCHOR: advance x / init the forward pass          (no gathers)
+  PH_FWD:    one forward extension                      (2 fused gathers)
+  PH_BINIT:  reverse the collected stack                (no gathers)
+  PH_BWD:    extend ALL stack entries left by one base  (2*SMAX gathers)
+  PH_R2:     scan for the next round-2 candidate        (no gathers)
+  PH_DONE
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..index.device import DeviceIndex, occ4_all
+
+PH_ANCHOR, PH_FWD, PH_BINIT, PH_BWD, PH_R2, PH_DONE = range(6)
+BIG = 2**30
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorSeedConfig:
+    max_smems: int = 32   # global emission capacity per read
+    smax: int = 16        # interval-stack capacity (distinct sizes)
+    min_seed_len: int = 19
+    split_len: int = 28
+    split_width: int = 10
+
+
+def _fwd_ext(didx, k, l, s, c_ext):
+    """Forward extension by query base via complement on the l side
+    [bwa: bwt_extend is_back=0]. c_ext = 3 - q[i]. Returns k', l', s'."""
+    lo = occ4_all(didx, l - 1)                  # (..., 4)
+    hi = occ4_all(didx, l - 1 + s)
+    s_all = hi - lo
+    new_l = didx.L2[c_ext] + 1 + jnp.take_along_axis(
+        lo, c_ext[..., None], axis=-1)[..., 0]
+    sent = ((l <= didx.primary) & (l + s - 1 >= didx.primary)).astype(
+        jnp.int32)
+    k3 = k + sent
+    k2 = k3 + s_all[..., 3]
+    k1 = k2 + s_all[..., 2]
+    k0 = k1 + s_all[..., 1]
+    new_k = jnp.select([c_ext == 3, c_ext == 2, c_ext == 1], [k3, k2, k1],
+                       k0)
+    new_s = jnp.take_along_axis(s_all, c_ext[..., None], axis=-1)[..., 0]
+    return new_k, new_l, new_s
+
+
+def _bwd_ext(didx, k, l, s, c):
+    """Backward extension by base c [bwa: bwt_extend is_back=1]."""
+    lo = occ4_all(didx, k - 1)
+    hi = occ4_all(didx, k - 1 + s)
+    s_all = hi - lo
+    new_k = didx.L2[c] + 1 + jnp.take_along_axis(
+        lo, c[..., None], axis=-1)[..., 0]
+    sent = ((k <= didx.primary) & (k + s - 1 >= didx.primary)).astype(
+        jnp.int32)
+    l3 = l + sent
+    l2 = l3 + s_all[..., 3]
+    l1 = l2 + s_all[..., 2]
+    l0 = l1 + s_all[..., 1]
+    new_l = jnp.select([c == 3, c == 2, c == 1], [l3, l2, l1], l0)
+    new_s = jnp.take_along_axis(s_all, c[..., None], axis=-1)[..., 0]
+    return new_k, new_l, new_s
+
+
+@partial(jax.jit, static_argnums=(3,))
+def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
+                         lens: jnp.ndarray, cfg: AnchorSeedConfig):
+    """Same output contract as seed.device.collect_smems: dict with
+    (B, max_smems) qb/qe/k/s sorted by (qb, qe), n, overflow."""
+    seqs = seqs.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+    B, L = seqs.shape
+    M, SM = cfg.max_smems, cfg.smax
+    rows = jnp.arange(B)
+    sidx = jnp.arange(SM, dtype=jnp.int32)[None, :]
+    iter_max = 6 * L + 16 * (1 + cfg.max_smems // 4)
+
+    zB = jnp.zeros((B,), jnp.int32)
+    zS = jnp.zeros((B, SM), jnp.int32)
+    st = dict(
+        ph=jnp.where(lens > 0, PH_ANCHOR, PH_DONE).astype(jnp.int32),
+        round1=jnp.ones((B,), bool),
+        x=zB, i=zB, x_ret=zB,
+        min_intv=zB + 1,
+        ik_k=zB, ik_l=zB, ik_s=zB, ik_qe=zB,
+        st_k=zS, st_l=zS, st_s=zS, st_qe=zS, n_st=zB,   # curr/prev stack
+        last_start=zB + BIG,
+        out_qb=jnp.zeros((B, M), jnp.int32),
+        out_qe=jnp.zeros((B, M), jnp.int32),
+        out_k=jnp.zeros((B, M), jnp.int32),
+        out_s=jnp.zeros((B, M), jnp.int32),
+        n_out=zB, n_out_r1=zB, cand_ptr=zB,
+        overflow=jnp.zeros((B,), bool),
+        it=jnp.int32(0),
+    )
+
+    def seq_at(pos):
+        return jnp.take_along_axis(seqs, jnp.clip(pos, 0, L - 1)[:, None],
+                                   axis=1)[:, 0]
+
+    def push_stack(st, mask, k, l, s, qe):
+        n = st["n_st"]
+        st["overflow"] = st["overflow"] | (mask & (n >= SM))
+        tgt = jnp.where(mask & (n < SM), n, SM)
+        for name, val in (("st_k", k), ("st_l", l), ("st_s", s),
+                          ("st_qe", qe)):
+            arr = jnp.concatenate([st[name], zS[:, :1]], axis=1)
+            st[name] = arr.at[rows, tgt].set(val, mode="drop")[:, :SM]
+        st["n_st"] = n + (mask & (n < SM)).astype(jnp.int32)
+        return st
+
+    def emit(st, mask, qb, qe, k, s):
+        keep = mask & ((qe - qb) >= cfg.min_seed_len)
+        n = st["n_out"]
+        st["overflow"] = st["overflow"] | (keep & (n >= M))
+        tgt = jnp.where(keep & (n < M), n, M)
+        for name, val in (("out_qb", qb), ("out_qe", qe), ("out_k", k),
+                          ("out_s", s)):
+            arr = jnp.concatenate([st[name], st[name][:, :1] * 0], axis=1)
+            st[name] = arr.at[rows, tgt].set(val, mode="drop")[:, :M]
+        st["n_out"] = n + (keep & (n < M)).astype(jnp.int32)
+        return st
+
+    def body(st):
+        st = dict(st)
+        ph = st["ph"]
+
+        # ---------- PH_ANCHOR: round-1 anchor advance / F init ----------
+        p0 = ph == PH_ANCHOR
+        qx = seq_at(st["x"])
+        r1_done = p0 & (st["x"] >= lens)
+        skipN = p0 & ~r1_done & (qx > 3)
+        startF = p0 & ~r1_done & ~skipN
+        st["x"] = jnp.where(skipN, st["x"] + 1, st["x"])
+
+        # ---------- PH_R2: next round-2 candidate ----------
+        p4 = ph == PH_R2
+        slot = jnp.arange(M, dtype=jnp.int32)[None, :]
+        is_cand = (slot >= st["cand_ptr"][:, None]) & \
+            (slot < st["n_out_r1"][:, None]) & \
+            ((st["out_qe"] - st["out_qb"]) >= cfg.split_len) & \
+            (st["out_s"] <= cfg.split_width)
+        nxt = jnp.min(jnp.where(is_cand, slot, M), axis=1)
+        has_cand = p4 & (nxt < M)
+        r2_done = p4 & ~has_cand
+        nxt_c = jnp.clip(nxt, 0, M - 1)
+        c_qb = st["out_qb"][rows, nxt_c]
+        c_qe = st["out_qe"][rows, nxt_c]
+        c_s = st["out_s"][rows, nxt_c]
+        mid = (c_qb + c_qe) >> 1
+        qmid = seq_at(mid)
+        st["cand_ptr"] = jnp.where(has_cand, nxt + 1, st["cand_ptr"])
+        startF2 = has_cand & (qmid <= 3)
+        # a candidate whose midpoint is N: smem1 is a no-op; stay in PH_R2
+        st["x"] = jnp.where(startF2, mid, st["x"])
+        st["min_intv"] = jnp.where(startF2, c_s + 1, st["min_intv"])
+        st["round1"] = st["round1"] & ~startF2
+
+        # common F init
+        fi = startF | startF2
+        c0 = jnp.where(startF, qx, qmid)
+        c0 = jnp.where(fi, c0, 0)
+        st["ik_k"] = jnp.where(fi, didx.L2[c0] + 1, st["ik_k"])
+        st["ik_l"] = jnp.where(fi, didx.L2[3 - c0] + 1, st["ik_l"])
+        st["ik_s"] = jnp.where(fi, didx.L2[c0 + 1] - didx.L2[c0], st["ik_s"])
+        st["ik_qe"] = jnp.where(fi, st["x"] + 1, st["ik_qe"])
+        st["i"] = jnp.where(fi, st["x"] + 1, st["i"])
+        st["n_st"] = jnp.where(fi, 0, st["n_st"])
+        st["last_start"] = jnp.where(fi, BIG, st["last_start"])
+
+        st["ph"] = jnp.where(r1_done, PH_R2,
+                             jnp.where(fi, PH_FWD,
+                                       jnp.where(r2_done, PH_DONE, ph)))
+
+        # ---------- PH_FWD ----------
+        p1 = st["ph"] == PH_FWD
+        p1 = p1 & (ph == PH_FWD)  # lanes that were ALREADY in FWD this iter
+        qi = seq_at(st["i"])
+        at_end = p1 & ((st["i"] >= lens) | (qi > 3))
+        ext = p1 & ~at_end
+        c_ext = jnp.where(ext, 3 - qi, 0)
+        nk, nl, ns = _fwd_ext(
+            didx, jnp.where(ext, st["ik_k"], 1),
+            jnp.where(ext, st["ik_l"], 1),
+            jnp.where(ext, st["ik_s"], 1), c_ext)
+        size_chg = ext & (ns != st["ik_s"])
+        push = at_end | size_chg
+        st = push_stack(st, push, st["ik_k"], st["ik_l"], st["ik_s"],
+                        st["ik_qe"])
+        small = size_chg & (ns < st["min_intv"])
+        to_b = at_end | small
+        adv = ext & ~small
+        st["ik_k"] = jnp.where(adv, nk, st["ik_k"])
+        st["ik_l"] = jnp.where(adv, nl, st["ik_l"])
+        st["ik_s"] = jnp.where(adv, ns, st["ik_s"])
+        st["ik_qe"] = jnp.where(adv, st["i"] + 1, st["ik_qe"])
+        st["i"] = jnp.where(adv, st["i"] + 1, st["i"])
+        st["ph"] = jnp.where(to_b, PH_BINIT, st["ph"])
+
+        # ---------- PH_BINIT (gather-free; runs in the same iteration the
+        # forward pass ended) ----------
+        p2 = (st["ph"] == PH_BINIT) & to_b
+        # reverse stack so longest match (smallest s) comes first
+        n = st["n_st"]
+        rev = jnp.clip(n[:, None] - 1 - sidx, 0, SM - 1)
+        take = lambda a: jnp.take_along_axis(a, rev, axis=1)
+        for name in ("st_k", "st_l", "st_s", "st_qe"):
+            st[name] = jnp.where(p2[:, None], take(st[name]), st[name])
+        st["x_ret"] = jnp.where(p2 & st["round1"], st["st_qe"][:, 0],
+                                st["x_ret"])
+        st["i"] = jnp.where(p2, st["x"] - 1, st["i"])
+        st["ph"] = jnp.where(p2, PH_BWD, st["ph"])
+
+        # ---------- PH_BWD ----------
+        p3 = (st["ph"] == PH_BWD) & (ph == PH_BWD)
+        qi2 = seq_at(st["i"])
+        has_c = p3 & (st["i"] >= 0) & (qi2 < 4)
+        cb = jnp.where(has_c, qi2, 0)
+        in_st = sidx < st["n_st"][:, None]
+        act = in_st & has_c[:, None]
+        bk, bl, bs = _bwd_ext(
+            didx, jnp.where(act, st["st_k"], 1),
+            jnp.where(act, st["st_l"], 1),
+            jnp.where(act, st["st_s"], 1), jnp.where(act, cb[:, None], 0))
+        fail = in_st & (~has_c[:, None] | (bs < st["min_intv"][:, None]))
+        surv = in_st & ~fail
+        # output: first failing entry with no survivor before it
+        first_fail = jnp.min(jnp.where(fail, sidx, SM), axis=1)
+        first_surv = jnp.min(jnp.where(surv, sidx, SM), axis=1)
+        do_out = p3 & (first_fail < SM) & (first_fail < first_surv) & \
+            (st["i"] + 1 < st["last_start"])
+        ff = jnp.clip(first_fail, 0, SM - 1)
+        st = emit(st, do_out, st["i"] + 1, st["st_qe"][rows, ff],
+                  st["st_k"][rows, ff], st["st_s"][rows, ff])
+        # bwa tracks the last RECORDED entry's start (containment skips do
+        # not move it)
+        st["last_start"] = jnp.where(do_out, st["i"] + 1, st["last_start"])
+        # new stack: survivors, consecutive equal-s deduped (keep first)
+        prev_s = jnp.where(surv, bs, -1)
+        # nearest survivor before j: running "last survivor s" scan via cummax
+        # on (index-tagged) values — O(SM^2) mask trick is simpler at SM=16
+        before = (sidx[:, :, None] > jnp.arange(SM)[None, None, :])
+        surv_b = surv[:, None, :] & before                     # (B, j, j')
+        lastj = jnp.max(jnp.where(surv_b, jnp.arange(SM)[None, None, :], -1),
+                        axis=2)
+        lastj_c = jnp.clip(lastj, 0, SM - 1)
+        s_before = jnp.where(lastj >= 0,
+                             jnp.take_along_axis(bs, lastj_c, axis=1), -1)
+        keep = surv & ((bs != s_before) | (lastj < 0))
+        kpos = jnp.cumsum(keep, axis=1) - 1
+        tgt = jnp.where(keep, kpos, SM)
+        new_n = keep.sum(axis=1).astype(jnp.int32)
+        def compact(vals, old):
+            arr = jnp.zeros((B, SM + 1), jnp.int32)
+            arr = arr.at[rows[:, None], tgt].set(jnp.where(keep, vals, 0),
+                                                 mode="drop")
+            return jnp.where(p3[:, None], arr[:, :SM], old)
+        nst_k = compact(bk, st["st_k"])
+        nst_l = compact(bl, st["st_l"])
+        nst_s = compact(bs, st["st_s"])
+        nst_qe = compact(st["st_qe"], st["st_qe"])
+        st["st_k"], st["st_l"], st["st_s"], st["st_qe"] = (nst_k, nst_l,
+                                                           nst_s, nst_qe)
+        st["n_st"] = jnp.where(p3, new_n, st["n_st"])
+        empty = p3 & (new_n == 0)
+        st["i"] = jnp.where(p3 & ~empty, st["i"] - 1, st["i"])
+        # smem1 finished: round 1 -> next anchor; round 2 -> next candidate
+        st["x"] = jnp.where(empty & st["round1"], st["x_ret"], st["x"])
+        st["ph"] = jnp.where(empty,
+                             jnp.where(st["round1"], PH_ANCHOR, PH_R2),
+                             st["ph"])
+        # close round 1 bookkeeping when transitioning to PH_R2 from anchor
+        st["n_out_r1"] = jnp.where(r1_done, st["n_out"], st["n_out_r1"])
+
+        st["it"] = st["it"] + 1
+        hard_stop = st["it"] >= iter_max
+        st["overflow"] = st["overflow"] | (hard_stop & (st["ph"] != PH_DONE))
+        st["ph"] = jnp.where(hard_stop, PH_DONE, st["ph"])
+        return st
+
+    def cond(st):
+        return jnp.any(st["ph"] != PH_DONE)
+
+    st = jax.lax.while_loop(cond, body, st)
+
+    # final sort by (qb, qe), stable — matches the oracle's stable sort
+    msk = jnp.arange(M)[None, :] < st["n_out"][:, None]
+    key = jnp.where(msk, st["out_qb"] * (L + 2) + st["out_qe"], BIG)
+    order = jnp.argsort(key, axis=1, stable=True)
+    take = lambda a: jnp.take_along_axis(a, order, axis=1)
+    return dict(
+        qb=take(st["out_qb"]), qe=take(st["out_qe"]), k=take(st["out_k"]),
+        s=take(st["out_s"]), n=st["n_out"], overflow=st["overflow"],
+    )

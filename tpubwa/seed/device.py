@@ -145,7 +145,7 @@ def collect_smems(didx: DeviceIndex, seqs: jnp.ndarray, lens: jnp.ndarray,
 
     # ---- round 2 candidates: long + low-occ round-1 SMEMs ----
     slot_valid = jnp.arange(cfg.max_smems)[None, :] < n1[:, None]
-    cand = slot_valid & ((qe1 - qb1) >= cfg.split_len + 1) & \
+    cand = slot_valid & ((qe1 - qb1) >= cfg.split_len) & \
         (ss1 <= cfg.split_width)
     # take the first max_reseed candidates in order
     cand_rank = jnp.cumsum(cand, axis=1) - 1

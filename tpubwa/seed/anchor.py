@@ -41,6 +41,10 @@ BIG = 2**30
 class AnchorSeedConfig:
     max_smems: int = 32   # global emission capacity per read
     smax: int = 16        # interval-stack capacity (distinct sizes)
+    bwd_dense: int = 8    # average live backward-stack entries per read:
+    #                       the backward extension gathers run on a dense
+    #                       (B*bwd_dense,) array instead of (B, smax);
+    #                       batches exceeding the budget overflow to host
     min_seed_len: int = 19
     split_len: int = 28
     split_width: int = 10
@@ -240,10 +244,29 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         cb = jnp.where(has_c, qi2, 0)
         in_st = sidx < st["n_st"][:, None]
         act = in_st & has_c[:, None]
-        bk, bl, bs = _bwd_ext(
-            didx, jnp.where(act, st["st_k"], 1),
-            jnp.where(act, st["st_l"], 1),
-            jnp.where(act, st["st_s"], 1), jnp.where(act, cb[:, None], 0))
+        # dense compaction: only live stack entries pay for occ gathers
+        D = B * cfg.bwd_dense
+        fa = act.reshape(-1)
+        gpos = jnp.cumsum(fa) - 1
+        inb = fa & (gpos < D)
+        dest = jnp.where(inb, gpos, D)
+        def to_dense(a, fill):
+            buf = jnp.full((D + 1,), fill, jnp.int32)
+            return buf.at[dest].set(
+                jnp.where(inb, a.reshape(-1), fill), mode="drop")[:D]
+        dk = to_dense(st["st_k"], 1)
+        dl = to_dense(st["st_l"], 1)
+        ds = to_dense(st["st_s"], 1)
+        dc = to_dense(jnp.broadcast_to(cb[:, None], (B, SM)), 0)
+        nk_d, nl_d, ns_d = _bwd_ext(didx, dk, dl, ds, dc)
+        def from_dense(d, old):
+            dpad = jnp.concatenate([d, jnp.zeros((1,), jnp.int32)])
+            v = dpad[jnp.minimum(gpos, D)].reshape(B, SM)
+            return jnp.where(act & inb.reshape(B, SM), v, old)
+        bk = from_dense(nk_d, st["st_k"])
+        bl = from_dense(nl_d, st["st_l"])
+        bs = from_dense(ns_d, jnp.zeros((B, SM), jnp.int32))
+        st["overflow"] = st["overflow"] | (fa & ~inb).reshape(B, SM).any(1)
         fail = in_st & (~has_c[:, None] | (bs < st["min_intv"][:, None]))
         surv = in_st & ~fail
         # output: first failing entry with no survivor before it

@@ -41,10 +41,12 @@ BIG = 2**30
 class AnchorSeedConfig:
     max_smems: int = 32   # global emission capacity per read
     smax: int = 16        # interval-stack capacity (distinct sizes)
-    bwd_dense: int = 8    # average live backward-stack entries per read:
-    #                       the backward extension gathers run on a dense
-    #                       (B*bwd_dense,) array instead of (B, smax);
-    #                       batches exceeding the budget overflow to host
+    bwd_dense: int = 0    # >0: run backward-extension gathers on a dense
+    #                       (B*bwd_dense,) array instead of (B, smax) —
+    #                       saves gather bandwidth at the cost of scatters;
+    #                       0 (default): direct (B, smax) extension, which
+    #                       measures faster on v5e where iteration overhead,
+    #                       not bandwidth, dominates
     min_seed_len: int = 19
     split_len: int = 28
     split_width: int = 10
@@ -125,27 +127,56 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
                                    axis=1)[:, 0]
 
     def push_stack(st, mask, k, l, s, qe):
+        # one-hot select instead of scatter: TPU scatters serialize
         n = st["n_st"]
         st["overflow"] = st["overflow"] | (mask & (n >= SM))
-        tgt = jnp.where(mask & (n < SM), n, SM)
+        ok = mask & (n < SM)
+        oh = ok[:, None] & (sidx == n[:, None])
         for name, val in (("st_k", k), ("st_l", l), ("st_s", s),
                           ("st_qe", qe)):
-            arr = jnp.concatenate([st[name], zS[:, :1]], axis=1)
-            st[name] = arr.at[rows, tgt].set(val, mode="drop")[:, :SM]
-        st["n_st"] = n + (mask & (n < SM)).astype(jnp.int32)
+            st[name] = jnp.where(oh, val[:, None], st[name])
+        st["n_st"] = n + ok.astype(jnp.int32)
         return st
+
+    midx = jnp.arange(M, dtype=jnp.int32)[None, :]
 
     def emit(st, mask, qb, qe, k, s):
         keep = mask & ((qe - qb) >= cfg.min_seed_len)
         n = st["n_out"]
         st["overflow"] = st["overflow"] | (keep & (n >= M))
-        tgt = jnp.where(keep & (n < M), n, M)
+        ok = keep & (n < M)
+        oh = ok[:, None] & (midx == n[:, None])
         for name, val in (("out_qb", qb), ("out_qe", qe), ("out_k", k),
                           ("out_s", s)):
-            arr = jnp.concatenate([st[name], st[name][:, :1] * 0], axis=1)
-            st[name] = arr.at[rows, tgt].set(val, mode="drop")[:, :M]
-        st["n_out"] = n + (keep & (n < M)).astype(jnp.int32)
+            st[name] = jnp.where(oh, val[:, None], st[name])
+        st["n_out"] = n + ok.astype(jnp.int32)
         return st
+
+    def _bwd_dense(st, act, cb):
+        # dense compaction: only live stack entries pay for occ gathers
+        D = B * cfg.bwd_dense
+        fa = act.reshape(-1)
+        gpos = jnp.cumsum(fa) - 1
+        inb = fa & (gpos < D)
+        dest = jnp.where(inb, gpos, D)
+        def to_dense(a, fill):
+            buf = jnp.full((D + 1,), fill, jnp.int32)
+            return buf.at[dest].set(
+                jnp.where(inb, a.reshape(-1), fill), mode="drop")[:D]
+        dk = to_dense(st["st_k"], 1)
+        dl = to_dense(st["st_l"], 1)
+        ds = to_dense(st["st_s"], 1)
+        dc = to_dense(jnp.broadcast_to(cb[:, None], (B, SM)), 0)
+        nk_d, nl_d, ns_d = _bwd_ext(didx, dk, dl, ds, dc)
+        def from_dense(d, old):
+            dpad = jnp.concatenate([d, jnp.zeros((1,), jnp.int32)])
+            v = dpad[jnp.minimum(gpos, D)].reshape(B, SM)
+            return jnp.where(act & inb.reshape(B, SM), v, old)
+        bk = from_dense(nk_d, st["st_k"])
+        bl = from_dense(nl_d, st["st_l"])
+        bs = from_dense(ns_d, jnp.zeros((B, SM), jnp.int32))
+        st["overflow"] = st["overflow"] | (fa & ~inb).reshape(B, SM).any(1)
+        return st, bk, bl, bs
 
     def body(st):
         st = dict(st)
@@ -244,29 +275,18 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         cb = jnp.where(has_c, qi2, 0)
         in_st = sidx < st["n_st"][:, None]
         act = in_st & has_c[:, None]
-        # dense compaction: only live stack entries pay for occ gathers
-        D = B * cfg.bwd_dense
-        fa = act.reshape(-1)
-        gpos = jnp.cumsum(fa) - 1
-        inb = fa & (gpos < D)
-        dest = jnp.where(inb, gpos, D)
-        def to_dense(a, fill):
-            buf = jnp.full((D + 1,), fill, jnp.int32)
-            return buf.at[dest].set(
-                jnp.where(inb, a.reshape(-1), fill), mode="drop")[:D]
-        dk = to_dense(st["st_k"], 1)
-        dl = to_dense(st["st_l"], 1)
-        ds = to_dense(st["st_s"], 1)
-        dc = to_dense(jnp.broadcast_to(cb[:, None], (B, SM)), 0)
-        nk_d, nl_d, ns_d = _bwd_ext(didx, dk, dl, ds, dc)
-        def from_dense(d, old):
-            dpad = jnp.concatenate([d, jnp.zeros((1,), jnp.int32)])
-            v = dpad[jnp.minimum(gpos, D)].reshape(B, SM)
-            return jnp.where(act & inb.reshape(B, SM), v, old)
-        bk = from_dense(nk_d, st["st_k"])
-        bl = from_dense(nl_d, st["st_l"])
-        bs = from_dense(ns_d, jnp.zeros((B, SM), jnp.int32))
-        st["overflow"] = st["overflow"] | (fa & ~inb).reshape(B, SM).any(1)
+        if cfg.bwd_dense == 0:
+            bk, bl, bs = _bwd_ext(
+                didx, jnp.where(act, st["st_k"], 1),
+                jnp.where(act, st["st_l"], 1),
+                jnp.where(act, st["st_s"], 1),
+                jnp.where(act, cb[:, None], 0))
+            bs = jnp.where(act, bs, 0)
+            bk = jnp.where(act, bk, st["st_k"])
+            bl = jnp.where(act, bl, st["st_l"])
+            st = st  # no budget overflow in direct mode
+        else:
+            st, bk, bl, bs = _bwd_dense(st, act, cb)
         fail = in_st & (~has_c[:, None] | (bs < st["min_intv"][:, None]))
         surv = in_st & ~fail
         # output: first failing entry with no survivor before it
@@ -293,13 +313,12 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
                              jnp.take_along_axis(bs, lastj_c, axis=1), -1)
         keep = surv & ((bs != s_before) | (lastj < 0))
         kpos = jnp.cumsum(keep, axis=1) - 1
-        tgt = jnp.where(keep, kpos, SM)
         new_n = keep.sum(axis=1).astype(jnp.int32)
+        # row-local permutation via a one-hot (B, SM, SM) select (no scatter)
+        oh_c = keep[:, None, :] & (kpos[:, None, :] == sidx[0][None, :, None])
         def compact(vals, old):
-            arr = jnp.zeros((B, SM + 1), jnp.int32)
-            arr = arr.at[rows[:, None], tgt].set(jnp.where(keep, vals, 0),
-                                                 mode="drop")
-            return jnp.where(p3[:, None], arr[:, :SM], old)
+            arr = jnp.sum(jnp.where(oh_c, vals[:, None, :], 0), axis=2)
+            return jnp.where(p3[:, None], arr, old)
         nst_k = compact(bk, st["st_k"])
         nst_l = compact(bl, st["st_l"])
         nst_s = compact(bs, st["st_s"])

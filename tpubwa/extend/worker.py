@@ -239,30 +239,37 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
             changed the score (vs the score entering the try) AND its
             max_off >= aw/2 + aw/4. prev0 is a->score entering try 0
             (-1 for left extension, the post-left score for right)."""
-            outs = []
-            for i in range(cfg.max_band_try):
-                aw = cfg.w << i
+            def run_kernel(aw, act_mask):
                 if cfg.use_pallas:
                     from ..ops.sw_pallas import ksw_extend_pallas
                     o = ksw_extend_pallas(
                         q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
-                        jnp.full((B,), eb, jnp.int32), act,
+                        jnp.full((B,), eb, jnp.int32), act_mask,
                         cfg.o_del, cfg.e_del, cfg.o_ins, cfg.e_ins,
                         cfg.zdrop, cfg.a, cfg.b)
-                    res = tuple(o[:, c] for c in range(6))
-                else:
-                    res = ksw_extend_batch(
-                        q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
-                        jnp.full((B,), eb, jnp.int32), act,
-                        jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
-                        cfg.o_ins, cfg.e_ins, cfg.zdrop)
-                outs.append((res, aw))
-            (sc, qle, tle, gtle, gsc, moff), aw0 = outs[0]
+                    return tuple(o[:, c] for c in range(6))
+                return ksw_extend_batch(
+                    q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+                    jnp.full((B,), eb, jnp.int32), act_mask,
+                    jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
+                    cfg.o_ins, cfg.e_ins, cfg.zdrop)
+
+            aw0 = cfg.w
+            sc, qle, tle, gtle, gsc, moff = run_kernel(aw0, act)
             used_w = jnp.full((B,), aw0, jnp.int32)
             prev_sc = prev0
-            for (res2, aw1) in outs[1:]:
-                retry = (sc != prev_sc) & (moff >= (aw0 >> 1) + (aw0 >> 2))
-                sc2, qle2, tle2, gtle2, gsc2, moff2 = res2
+            for i in range(1, cfg.max_band_try):
+                aw1 = cfg.w << i
+                retry = act & (sc != prev_sc) & \
+                    (moff >= (aw0 >> 1) + (aw0 >> 2))
+                # skip the doubled-band kernel entirely when no lane retries
+                res2 = jax.lax.cond(
+                    jnp.any(retry),
+                    lambda r=retry, aw=aw1: jnp.stack(
+                        run_kernel(aw, r), axis=1),
+                    lambda: jnp.zeros((B, 6), jnp.int32))
+                sc2, qle2, tle2, gtle2, gsc2, moff2 = (
+                    res2[:, c] for c in range(6))
                 prev_sc = sc
                 sc = jnp.where(retry, sc2, sc)
                 qle = jnp.where(retry, qle2, qle)

@@ -229,110 +229,127 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
                              jnp.where(fi, PH_FWD,
                                        jnp.where(r2_done, PH_DONE, ph)))
 
-        # ---------- PH_FWD ----------
-        p1 = st["ph"] == PH_FWD
-        p1 = p1 & (ph == PH_FWD)  # lanes that were ALREADY in FWD this iter
-        qi = seq_at(st["i"])
-        at_end = p1 & ((st["i"] >= lens) | (qi > 3))
-        ext = p1 & ~at_end
-        c_ext = jnp.where(ext, 3 - qi, 0)
-        nk, nl, ns = _fwd_ext(
-            didx, jnp.where(ext, st["ik_k"], 1),
-            jnp.where(ext, st["ik_l"], 1),
-            jnp.where(ext, st["ik_s"], 1), c_ext)
-        size_chg = ext & (ns != st["ik_s"])
-        push = at_end | size_chg
-        st = push_stack(st, push, st["ik_k"], st["ik_l"], st["ik_s"],
-                        st["ik_qe"])
-        small = size_chg & (ns < st["min_intv"])
-        to_b = at_end | small
-        adv = ext & ~small
-        st["ik_k"] = jnp.where(adv, nk, st["ik_k"])
-        st["ik_l"] = jnp.where(adv, nl, st["ik_l"])
-        st["ik_s"] = jnp.where(adv, ns, st["ik_s"])
-        st["ik_qe"] = jnp.where(adv, st["i"] + 1, st["ik_qe"])
-        st["i"] = jnp.where(adv, st["i"] + 1, st["i"])
-        st["ph"] = jnp.where(to_b, PH_BINIT, st["ph"])
+        # The forward/backward sections carry the expensive occ gathers;
+        # gate each behind a batch-wide cond so iterations where no lane
+        # is in that phase skip the gathers entirely (e.g. the first ~L
+        # iterations are pure forward passes).
+        def fwd_section(st):
+            st = dict(st)
+            # ---------- PH_FWD ----------
+            p1 = st["ph"] == PH_FWD
+            p1 = p1 & (ph == PH_FWD)  # lanes that were ALREADY in FWD this iter
+            qi = seq_at(st["i"])
+            at_end = p1 & ((st["i"] >= lens) | (qi > 3))
+            ext = p1 & ~at_end
+            c_ext = jnp.where(ext, 3 - qi, 0)
+            nk, nl, ns = _fwd_ext(
+                didx, jnp.where(ext, st["ik_k"], 1),
+                jnp.where(ext, st["ik_l"], 1),
+                jnp.where(ext, st["ik_s"], 1), c_ext)
+            size_chg = ext & (ns != st["ik_s"])
+            push = at_end | size_chg
+            st = push_stack(st, push, st["ik_k"], st["ik_l"], st["ik_s"],
+                            st["ik_qe"])
+            small = size_chg & (ns < st["min_intv"])
+            to_b = at_end | small
+            adv = ext & ~small
+            st["ik_k"] = jnp.where(adv, nk, st["ik_k"])
+            st["ik_l"] = jnp.where(adv, nl, st["ik_l"])
+            st["ik_s"] = jnp.where(adv, ns, st["ik_s"])
+            st["ik_qe"] = jnp.where(adv, st["i"] + 1, st["ik_qe"])
+            st["i"] = jnp.where(adv, st["i"] + 1, st["i"])
+            st["ph"] = jnp.where(to_b, PH_BINIT, st["ph"])
 
-        # ---------- PH_BINIT (gather-free; runs in the same iteration the
-        # forward pass ended) ----------
-        p2 = (st["ph"] == PH_BINIT) & to_b
-        # reverse stack so longest match (smallest s) comes first
-        n = st["n_st"]
-        rev = jnp.clip(n[:, None] - 1 - sidx, 0, SM - 1)
-        take = lambda a: jnp.take_along_axis(a, rev, axis=1)
-        for name in ("st_k", "st_l", "st_s", "st_qe"):
-            st[name] = jnp.where(p2[:, None], take(st[name]), st[name])
-        st["x_ret"] = jnp.where(p2 & st["round1"], st["st_qe"][:, 0],
-                                st["x_ret"])
-        st["i"] = jnp.where(p2, st["x"] - 1, st["i"])
-        st["ph"] = jnp.where(p2, PH_BWD, st["ph"])
+            # ---------- PH_BINIT (gather-free; runs in the same iteration the
+            # forward pass ended) ----------
+            p2 = (st["ph"] == PH_BINIT) & to_b
+            # reverse stack so longest match (smallest s) comes first
+            n = st["n_st"]
+            rev = jnp.clip(n[:, None] - 1 - sidx, 0, SM - 1)
+            take = lambda a: jnp.take_along_axis(a, rev, axis=1)
+            for name in ("st_k", "st_l", "st_s", "st_qe"):
+                st[name] = jnp.where(p2[:, None], take(st[name]), st[name])
+            st["x_ret"] = jnp.where(p2 & st["round1"], st["st_qe"][:, 0],
+                                    st["x_ret"])
+            st["i"] = jnp.where(p2, st["x"] - 1, st["i"])
+            st["ph"] = jnp.where(p2, PH_BWD, st["ph"])
 
-        # ---------- PH_BWD ----------
-        p3 = (st["ph"] == PH_BWD) & (ph == PH_BWD)
-        qi2 = seq_at(st["i"])
-        has_c = p3 & (st["i"] >= 0) & (qi2 < 4)
-        cb = jnp.where(has_c, qi2, 0)
-        in_st = sidx < st["n_st"][:, None]
-        act = in_st & has_c[:, None]
-        if cfg.bwd_dense == 0:
-            bk, bl, bs = _bwd_ext(
-                didx, jnp.where(act, st["st_k"], 1),
-                jnp.where(act, st["st_l"], 1),
-                jnp.where(act, st["st_s"], 1),
-                jnp.where(act, cb[:, None], 0))
-            bs = jnp.where(act, bs, 0)
-            bk = jnp.where(act, bk, st["st_k"])
-            bl = jnp.where(act, bl, st["st_l"])
-            st = st  # no budget overflow in direct mode
-        else:
-            st, bk, bl, bs = _bwd_dense(st, act, cb)
-        fail = in_st & (~has_c[:, None] | (bs < st["min_intv"][:, None]))
-        surv = in_st & ~fail
-        # output: first failing entry with no survivor before it
-        first_fail = jnp.min(jnp.where(fail, sidx, SM), axis=1)
-        first_surv = jnp.min(jnp.where(surv, sidx, SM), axis=1)
-        do_out = p3 & (first_fail < SM) & (first_fail < first_surv) & \
-            (st["i"] + 1 < st["last_start"])
-        ff = jnp.clip(first_fail, 0, SM - 1)
-        st = emit(st, do_out, st["i"] + 1, st["st_qe"][rows, ff],
-                  st["st_k"][rows, ff], st["st_s"][rows, ff])
-        # bwa tracks the last RECORDED entry's start (containment skips do
-        # not move it)
-        st["last_start"] = jnp.where(do_out, st["i"] + 1, st["last_start"])
-        # new stack: survivors, consecutive equal-s deduped (keep first)
-        prev_s = jnp.where(surv, bs, -1)
-        # nearest survivor before j: running "last survivor s" scan via cummax
-        # on (index-tagged) values — O(SM^2) mask trick is simpler at SM=16
-        before = (sidx[:, :, None] > jnp.arange(SM)[None, None, :])
-        surv_b = surv[:, None, :] & before                     # (B, j, j')
-        lastj = jnp.max(jnp.where(surv_b, jnp.arange(SM)[None, None, :], -1),
-                        axis=2)
-        lastj_c = jnp.clip(lastj, 0, SM - 1)
-        s_before = jnp.where(lastj >= 0,
-                             jnp.take_along_axis(bs, lastj_c, axis=1), -1)
-        keep = surv & ((bs != s_before) | (lastj < 0))
-        kpos = jnp.cumsum(keep, axis=1) - 1
-        new_n = keep.sum(axis=1).astype(jnp.int32)
-        # row-local permutation via a one-hot (B, SM, SM) select (no scatter)
-        oh_c = keep[:, None, :] & (kpos[:, None, :] == sidx[0][None, :, None])
-        def compact(vals, old):
-            arr = jnp.sum(jnp.where(oh_c, vals[:, None, :], 0), axis=2)
-            return jnp.where(p3[:, None], arr, old)
-        nst_k = compact(bk, st["st_k"])
-        nst_l = compact(bl, st["st_l"])
-        nst_s = compact(bs, st["st_s"])
-        nst_qe = compact(st["st_qe"], st["st_qe"])
-        st["st_k"], st["st_l"], st["st_s"], st["st_qe"] = (nst_k, nst_l,
-                                                           nst_s, nst_qe)
-        st["n_st"] = jnp.where(p3, new_n, st["n_st"])
-        empty = p3 & (new_n == 0)
-        st["i"] = jnp.where(p3 & ~empty, st["i"] - 1, st["i"])
-        # smem1 finished: round 1 -> next anchor; round 2 -> next candidate
-        st["x"] = jnp.where(empty & st["round1"], st["x_ret"], st["x"])
-        st["ph"] = jnp.where(empty,
-                             jnp.where(st["round1"], PH_ANCHOR, PH_R2),
-                             st["ph"])
+            return st
+
+        def bwd_section(st):
+            st = dict(st)
+            # ---------- PH_BWD ----------
+            p3 = (st["ph"] == PH_BWD) & (ph == PH_BWD)
+            qi2 = seq_at(st["i"])
+            has_c = p3 & (st["i"] >= 0) & (qi2 < 4)
+            cb = jnp.where(has_c, qi2, 0)
+            in_st = sidx < st["n_st"][:, None]
+            act = in_st & has_c[:, None]
+            if cfg.bwd_dense == 0:
+                bk, bl, bs = _bwd_ext(
+                    didx, jnp.where(act, st["st_k"], 1),
+                    jnp.where(act, st["st_l"], 1),
+                    jnp.where(act, st["st_s"], 1),
+                    jnp.where(act, cb[:, None], 0))
+                bs = jnp.where(act, bs, 0)
+                bk = jnp.where(act, bk, st["st_k"])
+                bl = jnp.where(act, bl, st["st_l"])
+                st = st  # no budget overflow in direct mode
+            else:
+                st, bk, bl, bs = _bwd_dense(st, act, cb)
+            fail = in_st & (~has_c[:, None] | (bs < st["min_intv"][:, None]))
+            surv = in_st & ~fail
+            # output: first failing entry with no survivor before it
+            first_fail = jnp.min(jnp.where(fail, sidx, SM), axis=1)
+            first_surv = jnp.min(jnp.where(surv, sidx, SM), axis=1)
+            do_out = p3 & (first_fail < SM) & (first_fail < first_surv) & \
+                (st["i"] + 1 < st["last_start"])
+            ff = jnp.clip(first_fail, 0, SM - 1)
+            st = emit(st, do_out, st["i"] + 1, st["st_qe"][rows, ff],
+                      st["st_k"][rows, ff], st["st_s"][rows, ff])
+            # bwa tracks the last RECORDED entry's start (containment skips do
+            # not move it)
+            st["last_start"] = jnp.where(do_out, st["i"] + 1, st["last_start"])
+            # new stack: survivors, consecutive equal-s deduped (keep first)
+            prev_s = jnp.where(surv, bs, -1)
+            # nearest survivor before j: running "last survivor s" scan via cummax
+            # on (index-tagged) values — O(SM^2) mask trick is simpler at SM=16
+            before = (sidx[:, :, None] > jnp.arange(SM)[None, None, :])
+            surv_b = surv[:, None, :] & before                     # (B, j, j')
+            lastj = jnp.max(jnp.where(surv_b, jnp.arange(SM)[None, None, :], -1),
+                            axis=2)
+            lastj_c = jnp.clip(lastj, 0, SM - 1)
+            s_before = jnp.where(lastj >= 0,
+                                 jnp.take_along_axis(bs, lastj_c, axis=1), -1)
+            keep = surv & ((bs != s_before) | (lastj < 0))
+            kpos = jnp.cumsum(keep, axis=1) - 1
+            new_n = keep.sum(axis=1).astype(jnp.int32)
+            # row-local permutation via a one-hot (B, SM, SM) select (no scatter)
+            oh_c = keep[:, None, :] & (kpos[:, None, :] == sidx[0][None, :, None])
+            def compact(vals, old):
+                arr = jnp.sum(jnp.where(oh_c, vals[:, None, :], 0), axis=2)
+                return jnp.where(p3[:, None], arr, old)
+            nst_k = compact(bk, st["st_k"])
+            nst_l = compact(bl, st["st_l"])
+            nst_s = compact(bs, st["st_s"])
+            nst_qe = compact(st["st_qe"], st["st_qe"])
+            st["st_k"], st["st_l"], st["st_s"], st["st_qe"] = (nst_k, nst_l,
+                                                               nst_s, nst_qe)
+            st["n_st"] = jnp.where(p3, new_n, st["n_st"])
+            empty = p3 & (new_n == 0)
+            st["i"] = jnp.where(p3 & ~empty, st["i"] - 1, st["i"])
+            # smem1 finished: round 1 -> next anchor; round 2 -> next candidate
+            st["x"] = jnp.where(empty & st["round1"], st["x_ret"], st["x"])
+            st["ph"] = jnp.where(empty,
+                                 jnp.where(st["round1"], PH_ANCHOR, PH_R2),
+                                 st["ph"])
+            return st
+
+        st = jax.lax.cond(jnp.any(ph == PH_FWD), fwd_section,
+                          lambda s: dict(s), st)
+        st = jax.lax.cond(jnp.any(ph == PH_BWD), bwd_section,
+                          lambda s: dict(s), st)
+
         # close round 1 bookkeeping when transitioning to PH_R2 from anchor
         st["n_out_r1"] = jnp.where(r1_done, st["n_out"], st["n_out_r1"])
 

@@ -50,6 +50,12 @@ class AnchorSeedConfig:
     min_seed_len: int = 19
     split_len: int = 28
     split_width: int = 10
+    unroll: int = 1       # state-machine steps per while_loop iteration —
+    #                       amortizes TPU per-iteration launch overhead
+    row_dense: int = 4    # >0: compact PH_BWD rows to a (B/row_dense, SM)
+    #                       dense grid before the occ gathers (rows that
+    #                       don't fit overflow to the host oracle);
+    #                       0: extend the full (B, SM) grid every step
 
 
 def _fwd_ext(didx, k, l, s, c_ext):
@@ -101,7 +107,10 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
     M, SM = cfg.max_smems, cfg.smax
     rows = jnp.arange(B)
     sidx = jnp.arange(SM, dtype=jnp.int32)[None, :]
-    iter_max = 6 * L + 16 * (1 + cfg.max_smems // 4)
+    # row_dense waiting can serialize synchronized backward phases — give
+    # those runs extra headroom (hard_stop still falls back to the oracle)
+    iter_max = (6 + 2 * max(cfg.row_dense - 1, 0)) * L \
+        + 16 * (1 + cfg.max_smems // 4)
 
     zB = jnp.zeros((B,), jnp.int32)
     zS = jnp.zeros((B, SM), jnp.int32)
@@ -263,10 +272,15 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             # ---------- PH_BINIT (gather-free; runs in the same iteration the
             # forward pass ended) ----------
             p2 = (st["ph"] == PH_BINIT) & to_b
-            # reverse stack so longest match (smallest s) comes first
+            # reverse stack so longest match (smallest s) comes first.
+            # One-hot sum, NOT take_along_axis: a (B,SM)-offset gather costs
+            # ~32ns/offset on TPU; the (B,SM,SM) select is pure VPU.
             n = st["n_st"]
-            rev = jnp.clip(n[:, None] - 1 - sidx, 0, SM - 1)
-            take = lambda a: jnp.take_along_axis(a, rev, axis=1)
+            ii = jnp.arange(SM, dtype=jnp.int32)[None, :, None]
+            jj = jnp.arange(SM, dtype=jnp.int32)[None, None, :]
+            rev_oh = (ii + jj) == (n[:, None, None] - 1)
+            take = lambda a: jnp.sum(
+                jnp.where(rev_oh, a[:, None, :], 0), axis=2)
             for name in ("st_k", "st_l", "st_s", "st_qe"):
                 st[name] = jnp.where(p2[:, None], take(st[name]), st[name])
             st["x_ret"] = jnp.where(p2 & st["round1"], st["st_qe"][:, 0],
@@ -285,7 +299,42 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             cb = jnp.where(has_c, qi2, 0)
             in_st = sidx < st["n_st"][:, None]
             act = in_st & has_c[:, None]
-            if cfg.bwd_dense == 0:
+            if cfg.row_dense > 0:
+                # ROW compaction: only reads currently taking a backward
+                # step pay for occ gathers. Gather/scatter index counts stay
+                # O(B) (row indices), never O(B*SM) — XLA TPU gather cost is
+                # per offset, so this is ~SM*B/Dr cheaper than extending the
+                # full (B, SM) grid when few reads are in PH_BWD. Rows that
+                # don't fit into the Dr dense rows simply WAIT (stay in
+                # PH_BWD, stepped next iteration) — correct by construction,
+                # just extra iterations when many reads sync up.
+                Dr = max(min(B // cfg.row_dense, B), 8)
+                rpos = jnp.cumsum(has_c.astype(jnp.int32)) - 1
+                room = has_c & (rpos < Dr)
+                dest = jnp.where(room, rpos, Dr)
+                srcrow = jnp.zeros((Dr + 1,), jnp.int32).at[dest].set(
+                    jnp.arange(B, dtype=jnp.int32), mode="drop")[:Dr]
+                dk = st["st_k"][srcrow]
+                dl = st["st_l"][srcrow]
+                ds = st["st_s"][srcrow]
+                dcb = cb[srcrow]
+                # dead dense rows point at read 0 (scatter fill) — their
+                # results are never applied (act is False there)
+                dact = sidx < st["n_st"][srcrow][:, None]
+                nk, nl, ns = _bwd_ext(
+                    didx, jnp.where(dact, dk, 1), jnp.where(dact, dl, 1),
+                    jnp.where(dact, ds, 1),
+                    jnp.broadcast_to(dcb[:, None], dk.shape))
+                rb_i = jnp.clip(rpos, 0, Dr - 1)
+                act = act & room[:, None]
+                bk = jnp.where(act, nk[rb_i], st["st_k"])
+                bl = jnp.where(act, nl[rb_i], st["st_l"])
+                bs = jnp.where(act, ns[rb_i], 0)
+                # rows that step this iteration: got a dense slot, or have
+                # no base to extend (their entries all fail, no gather)
+                p3 = p3 & (room | ~has_c)
+                has_c = has_c & room
+            elif cfg.bwd_dense == 0:
                 bk, bl, bs = _bwd_ext(
                     didx, jnp.where(act, st["st_k"], 1),
                     jnp.where(act, st["st_l"], 1),
@@ -318,9 +367,11 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             surv_b = surv[:, None, :] & before                     # (B, j, j')
             lastj = jnp.max(jnp.where(surv_b, jnp.arange(SM)[None, None, :], -1),
                             axis=2)
-            lastj_c = jnp.clip(lastj, 0, SM - 1)
-            s_before = jnp.where(lastj >= 0,
-                                 jnp.take_along_axis(bs, lastj_c, axis=1), -1)
+            # one-hot select (VPU) instead of a (B,SM)-offset gather
+            lastj_oh = lastj[:, :, None] == jnp.arange(SM)[None, None, :]
+            s_before = jnp.where(
+                lastj >= 0,
+                jnp.sum(jnp.where(lastj_oh, bs[:, None, :], 0), axis=2), -1)
             keep = surv & ((bs != s_before) | (lastj < 0))
             kpos = jnp.cumsum(keep, axis=1) - 1
             new_n = keep.sum(axis=1).astype(jnp.int32)
@@ -362,7 +413,12 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
     def cond(st):
         return jnp.any(st["ph"] != PH_DONE)
 
-    st = jax.lax.while_loop(cond, body, st)
+    def body_k(st):
+        for _ in range(cfg.unroll):
+            st = body(st)
+        return st
+
+    st = jax.lax.while_loop(cond, body_k, st)
 
     # final sort by (qb, qe), stable — matches the oracle's stable sort
     msk = jnp.arange(M)[None, :] < st["n_out"][:, None]
@@ -372,4 +428,5 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
     return dict(
         qb=take(st["out_qb"]), qe=take(st["out_qe"]), k=take(st["out_k"]),
         s=take(st["out_s"]), n=st["n_out"], overflow=st["overflow"],
+        it=st["it"],
     )

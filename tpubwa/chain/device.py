@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..index.device import DeviceIndex, sa_lookup
+from ..ops.window import slice_rows
 
 NEG31 = -(2**31) + 1  # plain int: no backend init at import time
 
@@ -95,44 +96,53 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     contrib = jnp.where(big, jnp.clip(qe - jnp.maximum(qb, prev_max), 0), 0)
     l_rep = contrib.sum(axis=1).astype(jnp.int32)
 
-    # flatten (smem, occurrence) pairs into seed slots, preserving order
+    # flatten (smem, occurrence) pairs into seed slots, preserving order.
+    # All index plumbing below is gather-free where offsets would be
+    # O(B*S): slot->smem ownership is a one-hot (B,S,M) contraction on the
+    # MXU, batch flattening uses the row-prefix property (live lanes are
+    # the first total[b] of each row), and the SA write-back is a variable
+    # row slice (ops.window.slice_rows).
     offs = jnp.cumsum(cnt, axis=1) - cnt          # exclusive prefix
     total = cnt.sum(axis=1)
     S = cfg.max_seeds
     sid = jnp.arange(S, dtype=jnp.int32)[None, :]                  # (1, S)
-    # smem index owning each slot: #offs <= sid minus 1 over valid smems
-    own = ((offs[:, None, :] <= sid[:, :, None]) &
-           (cnt[:, None, :] > 0)).sum(axis=2) - 1                  # (B, S)
-    own_c = jnp.clip(own, 0, M - 1)
-    take = lambda a: jnp.take_along_axis(a, own_c, axis=1)
-    t = sid - take(offs)
-    seed_valid = (sid < total[:, None]) & (own >= 0) & \
-        (t < take(cnt))
-    rank = take(k) + t * take(step)
-    # --- dense compaction before the invPsi walk: pack live lanes into a
-    # (B*sa_dense,) array so walk iterations only pay for real seeds ---
+    own_oh = (offs[:, None, :] <= sid[:, :, None]) & \
+        (sid[:, :, None] < (offs + cnt)[:, None, :])               # (B,S,M)
+    fields = jnp.stack([offs, cnt, k, step, qb, slen], axis=-1)    # (B,M,6)
+    taken = jax.lax.dot_general(
+        own_oh.astype(jnp.int32), fields,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                          # (B,S,6)
+    t_offs, t_cnt, t_k, t_step, qbeg, ln = (taken[..., c]
+                                            for c in range(6))
+    t = sid - t_offs
+    seed_valid = sid < total[:, None]
+    rank = t_k + t * t_step
+    # --- dense compaction before the invPsi walk: live lanes are row
+    # prefixes, so read b's seeds occupy dense rows [rowstart[b], +total[b])
     D = B * cfg.sa_dense
-    fv = seed_valid.reshape(-1)
-    fr = jnp.where(fv, rank.reshape(-1), 1)
-    gpos = jnp.cumsum(fv) - 1
-    in_budget = fv & (gpos < D)
-    dest = jnp.where(in_budget, gpos, D)
-    dense_rank = jnp.ones((D + 1,), jnp.int32).at[dest].set(
-        jnp.where(in_budget, fr, 1), mode="drop")
-    dense_live = jnp.zeros((D + 1,), bool).at[dest].set(in_budget,
-                                                        mode="drop")
-    dense_sa = sa_lookup(didx, dense_rank[:D], dense_live[:D])
-    dense_sa = jnp.concatenate([dense_sa, jnp.zeros((1,), jnp.int32)])
-    rbeg = jnp.where(in_budget, dense_sa[jnp.minimum(gpos, D)], 0)
-    rbeg = rbeg.reshape(B, S)
-    over_budget = (fv & ~in_budget).reshape(B, S).any(axis=1)
-    seed_valid = seed_valid & in_budget.reshape(B, S)
-    qbeg = take(qb)
-    ln = take(slen)
+    rowstart = jnp.cumsum(total) - total
+    over_budget = rowstart + total > D
+    tot_eff = jnp.where(over_budget, 0, total)
+    rowstart = jnp.cumsum(tot_eff) - tot_eff
+    # read owning each dense lane: scatter row starts, then a running max
+    mark = jnp.full((D + 1,), -1, jnp.int32).at[
+        jnp.where(tot_eff > 0, rowstart, D)].set(
+        jnp.arange(B, dtype=jnp.int32), mode="drop")[:D]
+    b_for = jax.lax.associative_scan(jnp.maximum, mark)
+    b_forc = jnp.clip(b_for, 0, B - 1)
+    j_in = jnp.arange(D, dtype=jnp.int32) - rowstart[b_forc]
+    dense_live = (b_for >= 0) & (j_in < tot_eff[b_forc]) & (j_in >= 0)
+    flat_idx = jnp.clip(b_forc * S + j_in, 0, B * S - 1)
+    dense_rank = jnp.where(dense_live, rank.reshape(-1)[flat_idx], 1)
+    dense_sa = sa_lookup(didx, dense_rank, dense_live)
+    rbeg = slice_rows(dense_sa, rowstart, S)
+    seed_valid = seed_valid & ~over_budget[:, None]
+    rbeg = jnp.where(seed_valid, rbeg, 0)
     rid = intv2rid(didx, rbeg, ln)
     rid = jnp.where(seed_valid, rid, -1)
     overflow = smems["overflow"] | (total > S) | over_budget
-    return dict(rbeg=jnp.where(seed_valid, rbeg, 0), qbeg=qbeg, len=ln,
+    return dict(rbeg=rbeg, qbeg=qbeg, len=ln,
                 rid=rid, valid=seed_valid & (rid >= 0), l_rep=l_rep,
                 overflow=overflow)
 
@@ -219,7 +229,14 @@ def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
             jnp.where(sv, assigned, -1))
         return st
 
-    st = jax.lax.fori_loop(0, S, body, st)
+    # dynamic trip count: slots past the last valid seed in the whole batch
+    # are no-ops — don't pay for the (B,C) body there
+    jmax = jnp.max(jnp.where(
+        valid, jnp.arange(S, dtype=jnp.int32)[None, :] + 1, 0))
+    st = jax.lax.while_loop(
+        lambda c: c[0] < jmax,
+        lambda c: (c[0] + 1, body(c[0], c[1])),
+        (jnp.int32(0), st))[1]
     st["weight"] = jnp.minimum(
         jnp.minimum(st["w_q"], st["w_r"]), jnp.int32(2**30 - 1))
     return st
@@ -274,7 +291,11 @@ def chain_filter(chains: dict, cfg: ChainConfig):
         kept = kept.at[:, i].set(ki)
         return kept, first
 
-    kept, first = jax.lax.fori_loop(1, C, body, (kept, first))
+    imax = jnp.max(chains["n"])
+    kept, first = jax.lax.while_loop(
+        lambda c: c[0] < imax,
+        lambda c: (c[0] + 1,) + tuple(body(c[0], c[1:])),
+        (jnp.int32(1), kept, first))[1:]
     # chains pointed at by a kept chain's `first` become shadowed (kept=1),
     # unconditionally, as in bwa
     src = (kept >= 2) & (first >= 0)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..index.device import DeviceIndex, text_base
+from ..ops.window import (query_window_asc, query_window_desc,
+                          text_window_asc, text_window_desc)
 from .jax_extend import ksw_extend_batch
 
 NEG31 = -(2**31) + 1
@@ -225,13 +227,10 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         lt_len = jnp.where(do_l, srb - r0, 0)
         qi = jnp.arange(L, dtype=jnp.int32)[None, :]
         lq = jnp.where(qi < lq_len[:, None],
-                       jnp.take_along_axis(
-                           seqs, jnp.clip(lq_len[:, None] - 1 - qi, 0), 1), 4)
+                       query_window_desc(seqs, sqb, L), 4)
         ti = jnp.arange(WREF, dtype=jnp.int32)[None, :]
-        lt_pos = srb[:, None] - 1 - ti
-        lt = jnp.where(
-            ti < lt_len[:, None],
-            text_base(didx, jnp.clip(lt_pos, 0, 2 * l_pac - 1)), 4)
+        lt = jnp.where(ti < lt_len[:, None],
+                       text_window_desc(didx, srb, WREF), 4)
         h0 = sln * cfg.a
 
         def run_try(q, ql, t, tl, h, eb, act, prev0):
@@ -301,12 +300,9 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         rq_len = jnp.where(do_r, lens - qe0, 0)
         rt_len = jnp.where(do_r, r1 - (srb + sln), 0)
         rq = jnp.where(qi < rq_len[:, None],
-                       jnp.take_along_axis(seqs,
-                                           jnp.clip(qe0[:, None] + qi, 0,
-                                                    L - 1), 1), 4)
-        rt_pos = (srb + sln)[:, None] + ti
+                       query_window_asc(seqs, qe0, L), 4)
         rt = jnp.where(ti < rt_len[:, None],
-                       text_base(didx, jnp.clip(rt_pos, 0, 2 * l_pac - 1)), 4)
+                       text_window_asc(didx, srb + sln, WREF), 4)
         rsc, rqle, rtle, rgtle, rgsc, rw = run_try(
             rq, rq_len, rt, rt_len, score_l, cfg.pen_clip3, do_r, score_l)
         to_end_r = do_r & (rgsc > 0) & (rgsc > rsc - cfg.pen_clip3)

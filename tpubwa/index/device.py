@@ -32,12 +32,16 @@ class DeviceIndex:
     occ_fused: jnp.ndarray     # uint32[n_cp, 8]: cp counts + block words
     sa_samples: jnp.ndarray    # int32[n_samp]
     pac: jnp.ndarray           # uint8[ceil(l_pac/4)]
+    pac_rows: jnp.ndarray      # uint32[n_prow, 8]: pac as 32B rows (128
+    #                            bases/row) — contiguous text windows are
+    #                            fetched as a few ROW gathers (per-offset
+    #                            gather cost) instead of per-base gathers
     ann_end: jnp.ndarray       # int32[n_anns]: offset+length per sequence
 
     def tree_flatten(self):
         return ((self.L2, self.occ_fused, self.sa_samples,
-                 self.pac, self.ann_end), (self.l_pac, self.primary,
-                                           self.sa_intv))
+                 self.pac, self.pac_rows, self.ann_end),
+                (self.l_pac, self.primary, self.sa_intv))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -54,6 +58,10 @@ class DeviceIndex:
         words[: len(idx.bwt_words)] = idx.bwt_words
         fused = np.concatenate(
             [idx.occ_cp.astype(np.uint32), words.reshape(n_cp, 4)], axis=1)
+        n_prow = -(-int(idx.pac.shape[0]) // 32) + 1   # +1 pad row
+        pac_pad = np.zeros(n_prow * 32, dtype=np.uint8)
+        pac_pad[: idx.pac.shape[0]] = idx.pac
+        pac_rows = pac_pad.view(np.uint32).reshape(n_prow, 8)
         return DeviceIndex(
             l_pac=int(idx.l_pac),
             primary=int(idx.primary),
@@ -62,6 +70,7 @@ class DeviceIndex:
             occ_fused=jnp.asarray(fused),
             sa_samples=jnp.asarray(idx.sa_samples, dtype=jnp.int32),
             pac=jnp.asarray(idx.pac, dtype=jnp.uint8),
+            pac_rows=jnp.asarray(pac_rows),
             ann_end=jnp.asarray(
                 np.array([a.offset + a.length for a in idx.anns]),
                 dtype=jnp.int32),

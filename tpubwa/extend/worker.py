@@ -86,13 +86,18 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     stored = cid_s >= 0
 
     # ---- chain rank in filtered order; rank = C for dropped chains ----
+    # one-hot contractions, not scatter/gather: these are (B*S)-offset ops
+    # and XLA TPU pays ~40-150ns PER offset; the (B,C,C)/(B,S,C) selects
+    # are pure VPU
     order, kept = flt["order"], flt["kept"]          # (B, C) each
-    rank_of = jnp.full((B, C), C, jnp.int32)
-    pos_in_sorted = jnp.arange(C, dtype=jnp.int32)[None, :].repeat(B, 0)
-    rank_of = rank_of.at[rows[:, None], order].set(
-        jnp.where(kept > 0, pos_in_sorted, C))
-    seed_rank = jnp.where(stored, rank_of[rows[:, None], jnp.clip(cid_s, 0)],
-                          C)
+    cio = jnp.arange(C, dtype=jnp.int32)
+    ord_oh = order[:, :, None] == cio[None, None, :]           # (B, p, c)
+    rank_of = jnp.min(jnp.where(ord_oh & (kept > 0)[:, :, None],
+                                cio[None, :, None], C), axis=1)  # (B, C)
+    cid_oh = jnp.clip(cid_s, 0)[:, :, None] == cio[None, None, :]  # (B,S,C)
+    seed_rank = jnp.where(
+        stored,
+        jnp.sum(jnp.where(cid_oh, rank_of[:, None, :], 0), axis=2), C)
 
     # ---- rmax windows per chain [the max-possible-span computation] ----
     gap_l = cal_max_gap(cfg, qbeg_s)
@@ -100,13 +105,9 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     bnd = rbeg_s - (qbeg_s + gap_l)
     end = rbeg_s + len_s + (lens[:, None] - qbeg_s - len_s) + gap_r
     big = jnp.int32(2**30)
-    rmax0 = jnp.full((B, C), big)
-    rmax1 = jnp.full((B, C), -big)
-    cid_c = jnp.clip(cid_s, 0, C - 1)
-    rmax0 = rmax0.at[rows[:, None], cid_c].min(
-        jnp.where(stored, bnd, big), mode="drop")
-    rmax1 = rmax1.at[rows[:, None], cid_c].max(
-        jnp.where(stored, end, -big), mode="drop")
+    in_chain = cid_oh & stored[:, :, None]                       # (B, S, C)
+    rmax0 = jnp.min(jnp.where(in_chain, bnd[:, :, None], big), axis=1)
+    rmax1 = jnp.max(jnp.where(in_chain, end[:, :, None], -big), axis=1)
     rmax0 = jnp.clip(rmax0, 0)
     rmax1 = jnp.minimum(rmax1, 2 * l_pac)
     # strand-boundary split, decided by the chain's first seed
@@ -151,17 +152,26 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         rid=jnp.full((B, R), -1, jnp.int32),
     )
 
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+
+    def row_pick(arr, col):
+        """arr[b, col[b]] via one-hot select — XLA per-offset gather cost
+        (~40-150ns/offset) makes a (B,) gather pricier than a (B, S) VPU
+        mask-sum."""
+        oh = s_iota == col[:, None]
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
     def cur_slot(st):
         p = jnp.clip(st["ptr"], 0, S - 1)
-        return pair_order[rows, p], st["ptr"] < n_pairs
+        return row_pick(pair_order, p), st["ptr"] < n_pairs
 
     def containment_skip(st):
         """True for reads whose CURRENT seed should be skipped (no SW)."""
         slot, active = cur_slot(st)
-        sqb = qbeg_s[rows, slot]
-        srb = rbeg_s[rows, slot]
-        sln = len_s[rows, slot]
-        scid = cid_s[rows, slot]
+        sqb = row_pick(qbeg_s, slot)
+        srb = row_pick(rbeg_s, slot)
+        sln = row_pick(len_s, slot)
+        scid = row_pick(cid_s, slot)
         ridx = jnp.arange(R)[None, :]
         vr = ridx < st["n"][:, None]
         cont = vr & (srb[:, None] >= st["rb"]) & \
@@ -182,8 +192,8 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         around = (cont & len_ok & (front | back)).any(axis=1)
         # overlapping-seed rescue scan within the same chain [the srt scan]
         t_len, t_qb, t_rb = len_s, qbeg_s, rbeg_s
-        longer = (t_len > len_s[rows, slot][:, None]) | \
-            ((t_len == len_s[rows, slot][:, None]) &
+        longer = (t_len > sln[:, None]) | \
+            ((t_len == sln[:, None]) &
              (jnp.arange(S)[None, :] > slot[:, None]))
         same_chain = cid_s == scid[:, None]
         unskipped = ~st["skipped"]
@@ -207,19 +217,25 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         skip, active = containment_skip(st)
         slot, _ = cur_slot(st)
         st = dict(st)
-        st["skipped"] = st["skipped"].at[rows, slot].set(
-            st["skipped"][rows, slot] | skip)
+        oh = (s_iota == slot[:, None]) & skip[:, None]
+        st["skipped"] = st["skipped"] | oh
         st["ptr"] = st["ptr"] + skip.astype(jnp.int32)
         return st
 
+    c_iota = jnp.arange(C, dtype=jnp.int32)[None, :]
+
+    def chain_pick(arr, cid):
+        oh = c_iota == cid[:, None]
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+
     def run_extension(st):
         slot, active = cur_slot(st)
-        sqb = qbeg_s[rows, slot]
-        srb = rbeg_s[rows, slot]
-        sln = len_s[rows, slot]
-        scid = jnp.clip(cid_s[rows, slot], 0, C - 1)
-        r0 = rmax0[rows, scid]
-        r1 = rmax1[rows, scid]
+        sqb = row_pick(qbeg_s, slot)
+        srb = row_pick(rbeg_s, slot)
+        sln = row_pick(len_s, slot)
+        scid = jnp.clip(row_pick(cid_s, slot), 0, C - 1)
+        r0 = chain_pick(rmax0, scid)
+        r1 = chain_pick(rmax1, scid)
 
         # ---- left extension: reversed query prefix / reversed ref window
         do_l = active & (sqb > 0)
@@ -318,7 +334,8 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         aw_r = jnp.where(do_r, rw, cfg.w)
 
         # ---- seedcov over this chain's stored seeds
-        incov = stored & (cid_s == cid_s[rows, slot][:, None]) & \
+        scid_raw = row_pick(cid_s, slot)
+        incov = stored & (cid_s == scid_raw[:, None]) & \
             (qbeg_s >= qb_new[:, None]) & \
             (qbeg_s + len_s <= qe_new[:, None]) & \
             (rbeg_s >= rb_new[:, None]) & \
@@ -331,11 +348,11 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         st = dict(st)
         st["overflow"] = st["overflow"] | (push & ~room)
         tgt = jnp.where(push & room, st["n"], R)
+        r_iota = jnp.arange(R, dtype=jnp.int32)[None, :]
+        oh_tgt = r_iota == tgt[:, None]          # all-False row when tgt == R
         def put(name, val):
-            arr = jnp.concatenate(
-                [st[name], jnp.zeros((B, 1), st[name].dtype)], axis=1)
-            arr = arr.at[rows, tgt].set(val, mode="drop")
-            st[name] = arr[:, :R]
+            st[name] = jnp.where(oh_tgt, val[:, None].astype(st[name].dtype),
+                                 st[name])
         put("rb", rb_new)
         put("re", re_new)
         put("qb", qb_new)
@@ -345,8 +362,8 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         put("w", jnp.maximum(aw_l, aw_r))
         put("seedcov", seedcov)
         put("seedlen0", sln)
-        put("cid", cid_s[rows, slot])
-        put("rid", chains["rid"][rows, scid])
+        put("cid", scid_raw)
+        put("rid", chain_pick(chains["rid"], scid))
         st["n"] = st["n"] + (push & room).astype(jnp.int32)
         st["ptr"] = st["ptr"] + active.astype(jnp.int32)
         return st

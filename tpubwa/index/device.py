@@ -77,6 +77,25 @@ class DeviceIndex:
         )
 
 
+def sel4(arr: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """arr[..., c] for c in {0..3} WITHOUT a gather: XLA lowers
+    take_along_axis to a per-offset gather (~40-150ns/offset on TPU — as
+    expensive as a whole occ row fetch), while this 4-way select is pure VPU.
+    arr: (..., 4); c: (...) int32."""
+    return (jnp.where(c == 0, arr[..., 0], 0)
+            + jnp.where(c == 1, arr[..., 1], 0)
+            + jnp.where(c == 2, arr[..., 2], 0)
+            + jnp.where(c == 3, arr[..., 3], 0))
+
+
+def sel_vec(vec: jnp.ndarray, c: jnp.ndarray, n: int) -> jnp.ndarray:
+    """vec[c] for a tiny static-length vec (e.g. L2[5]) without a gather."""
+    out = jnp.zeros_like(c)
+    for i in range(n):
+        out = jnp.where(c == i, vec[i].astype(c.dtype), out)
+    return out
+
+
 def _popcount32(x: jnp.ndarray) -> jnp.ndarray:
     """SWAR popcount of uint32 lanes."""
     x = x - ((x >> 1) & jnp.uint32(0x55555555))
@@ -111,9 +130,7 @@ def _count_first(words: jnp.ndarray, c: jnp.ndarray,
 
 def _row_cp(row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
     """Checkpoint count for base c from a fused row (..., 8)."""
-    return jnp.take_along_axis(
-        row[..., 0:4], c[..., None].astype(jnp.int32), axis=-1
-    )[..., 0].astype(jnp.int32)
+    return sel4(row[..., 0:4].astype(jnp.int32), c.astype(jnp.int32))
 
 
 def occ_prefix(didx: DeviceIndex, n: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -148,9 +165,8 @@ def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 def bwt_base(didx: DeviceIndex, j: jnp.ndarray) -> jnp.ndarray:
     """Stored-BWT base at position j (int32)."""
     row = didx.occ_fused[j >> 6]
-    word = jnp.take_along_axis(
-        row[..., 4:8], ((j >> 4) & 3)[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    word = sel4(row[..., 4:8].astype(jnp.int32),
+                ((j >> 4) & 3).astype(jnp.int32)).astype(jnp.uint32)
     return ((word >> (2 * (j & 15)).astype(jnp.uint32)) &
             jnp.uint32(3)).astype(jnp.int32)
 
@@ -174,13 +190,12 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     the BWT base at x and its occ count come from the same fused row."""
     x = k - (k > didx.primary).astype(k.dtype)
     row = didx.occ_fused[x >> 6]
-    word = jnp.take_along_axis(
-        row[..., 4:8], ((x >> 4) & 3)[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    word = sel4(row[..., 4:8].astype(jnp.int32),
+                ((x >> 4) & 3).astype(jnp.int32)).astype(jnp.uint32)
     c = ((word >> (2 * (x & 15)).astype(jnp.uint32)) &
          jnp.uint32(3)).astype(jnp.int32)
     cnt = _row_cp(row, c) + _count_first(row[..., 4:8], c, (x & 63) + 1)
-    res = didx.L2[c] + cnt
+    res = sel_vec(didx.L2, c, 4) + cnt
     return jnp.where(k == didx.primary, 0, res)
 
 

@@ -31,9 +31,11 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..index.device import DeviceIndex, occ4_all
+from ..index.device import DeviceIndex, inv_psi, occ4_all, sel4, sel_vec
+from ..ops.window import query_window_asc, text_window_asc
 
-PH_ANCHOR, PH_FWD, PH_BINIT, PH_BWD, PH_R2, PH_DONE = range(6)
+(PH_ANCHOR, PH_FWD, PH_BINIT, PH_BWD, PH_R2, PH_DONE,
+ PH_LOC, PH_CMP) = range(8)
 BIG = 2**30
 
 
@@ -52,6 +54,13 @@ class AnchorSeedConfig:
     split_width: int = 10
     unroll: int = 1       # state-machine steps per while_loop iteration —
     #                       amortizes TPU per-iteration launch overhead
+    fast_s1: bool = True  # s==1 forward fast path: once the interval is
+    #                       unique, SA-locate it (invPsi walk) and finish the
+    #                       match with ONE vectorized text comparison instead
+    #                       of ~L sequential FM extensions. k is invariant
+    #                       while s==1 (the unique member suffix is fixed)
+    #                       and l is dead in the backward pass, so the
+    #                       emitted (qb, qe, k, s) are exactly bwt_smem1's.
     row_dense: int = 4    # >0: compact PH_BWD rows to a (B/row_dense, SM)
     #                       dense grid before the occ gathers (rows that
     #                       don't fit overflow to the host oracle);
@@ -64,8 +73,7 @@ def _fwd_ext(didx, k, l, s, c_ext):
     lo = occ4_all(didx, l - 1)                  # (..., 4)
     hi = occ4_all(didx, l - 1 + s)
     s_all = hi - lo
-    new_l = didx.L2[c_ext] + 1 + jnp.take_along_axis(
-        lo, c_ext[..., None], axis=-1)[..., 0]
+    new_l = sel_vec(didx.L2, c_ext, 4) + 1 + sel4(lo, c_ext)
     sent = ((l <= didx.primary) & (l + s - 1 >= didx.primary)).astype(
         jnp.int32)
     k3 = k + sent
@@ -74,7 +82,7 @@ def _fwd_ext(didx, k, l, s, c_ext):
     k0 = k1 + s_all[..., 1]
     new_k = jnp.select([c_ext == 3, c_ext == 2, c_ext == 1], [k3, k2, k1],
                        k0)
-    new_s = jnp.take_along_axis(s_all, c_ext[..., None], axis=-1)[..., 0]
+    new_s = sel4(s_all, c_ext)
     return new_k, new_l, new_s
 
 
@@ -83,8 +91,7 @@ def _bwd_ext(didx, k, l, s, c):
     lo = occ4_all(didx, k - 1)
     hi = occ4_all(didx, k - 1 + s)
     s_all = hi - lo
-    new_k = didx.L2[c] + 1 + jnp.take_along_axis(
-        lo, c[..., None], axis=-1)[..., 0]
+    new_k = sel_vec(didx.L2, c, 4) + 1 + sel4(lo, c)
     sent = ((k <= didx.primary) & (k + s - 1 >= didx.primary)).astype(
         jnp.int32)
     l3 = l + sent
@@ -92,7 +99,7 @@ def _bwd_ext(didx, k, l, s, c):
     l1 = l2 + s_all[..., 2]
     l0 = l1 + s_all[..., 1]
     new_l = jnp.select([c == 3, c == 2, c == 1], [l3, l2, l1], l0)
-    new_s = jnp.take_along_axis(s_all, c[..., None], axis=-1)[..., 0]
+    new_s = sel4(s_all, c)
     return new_k, new_l, new_s
 
 
@@ -128,12 +135,17 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         out_s=jnp.zeros((B, M), jnp.int32),
         n_out=zB, n_out_r1=zB, cand_ptr=zB,
         overflow=jnp.zeros((B,), bool),
+        loc_k=zB, loc_off=zB, p_txt=zB,   # s==1 fast-path state
         it=jnp.int32(0),
     )
 
+    li = jnp.arange(L, dtype=jnp.int32)[None, :]
+
     def seq_at(pos):
-        return jnp.take_along_axis(seqs, jnp.clip(pos, 0, L - 1)[:, None],
-                                   axis=1)[:, 0]
+        # one-hot row select, not a gather: per-offset gather cost on TPU
+        # (~40-150ns) dwarfs the (B, L) VPU mask-sum
+        oh = li == jnp.clip(pos, 0, L - 1)[:, None]
+        return jnp.sum(jnp.where(oh, seqs, 0), axis=1)
 
     def push_stack(st, mask, k, l, s, qe):
         # one-hot select instead of scatter: TPU scatters serialize
@@ -210,9 +222,11 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         has_cand = p4 & (nxt < M)
         r2_done = p4 & ~has_cand
         nxt_c = jnp.clip(nxt, 0, M - 1)
-        c_qb = st["out_qb"][rows, nxt_c]
-        c_qe = st["out_qe"][rows, nxt_c]
-        c_s = st["out_s"][rows, nxt_c]
+        oh_nxt = slot == nxt_c[:, None]
+        pick = lambda a: jnp.sum(jnp.where(oh_nxt, a, 0), axis=1)
+        c_qb = pick(st["out_qb"])
+        c_qe = pick(st["out_qe"])
+        c_s = pick(st["out_s"])
         mid = (c_qb + c_qe) >> 1
         qmid = seq_at(mid)
         st["cand_ptr"] = jnp.where(has_cand, nxt + 1, st["cand_ptr"])
@@ -226,9 +240,12 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         fi = startF | startF2
         c0 = jnp.where(startF, qx, qmid)
         c0 = jnp.where(fi, c0, 0)
-        st["ik_k"] = jnp.where(fi, didx.L2[c0] + 1, st["ik_k"])
-        st["ik_l"] = jnp.where(fi, didx.L2[3 - c0] + 1, st["ik_l"])
-        st["ik_s"] = jnp.where(fi, didx.L2[c0 + 1] - didx.L2[c0], st["ik_s"])
+        L2c0 = sel_vec(didx.L2, c0, 4)
+        L2c1 = sel_vec(didx.L2, c0 + 1, 5)
+        st["ik_k"] = jnp.where(fi, L2c0 + 1, st["ik_k"])
+        st["ik_l"] = jnp.where(fi, sel_vec(didx.L2, 3 - c0, 4) + 1,
+                               st["ik_l"])
+        st["ik_s"] = jnp.where(fi, L2c1 - L2c0, st["ik_s"])
         st["ik_qe"] = jnp.where(fi, st["x"] + 1, st["ik_qe"])
         st["i"] = jnp.where(fi, st["x"] + 1, st["i"])
         st["n_st"] = jnp.where(fi, 0, st["n_st"])
@@ -268,10 +285,16 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             st["ik_qe"] = jnp.where(adv, st["i"] + 1, st["ik_qe"])
             st["i"] = jnp.where(adv, st["i"] + 1, st["i"])
             st["ph"] = jnp.where(to_b, PH_BINIT, st["ph"])
+            if cfg.fast_s1:
+                # unique interval: switch to SA-locate + direct text compare
+                go_loc = adv & (ns == 1)
+                st["loc_k"] = jnp.where(go_loc, nk, st["loc_k"])
+                st["loc_off"] = jnp.where(go_loc, 0, st["loc_off"])
+                st["ph"] = jnp.where(go_loc, PH_LOC, st["ph"])
 
             # ---------- PH_BINIT (gather-free; runs in the same iteration the
-            # forward pass ended) ----------
-            p2 = (st["ph"] == PH_BINIT) & to_b
+            # forward pass ended, or one iteration after a PH_CMP finish) ----
+            p2 = (st["ph"] == PH_BINIT) & (to_b | (ph == PH_BINIT))
             # reverse stack so longest match (smallest s) comes first.
             # One-hot sum, NOT take_along_axis: a (B,SM)-offset gather costs
             # ~32ns/offset on TPU; the (B,SM,SM) select is pure VPU.
@@ -354,8 +377,10 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             do_out = p3 & (first_fail < SM) & (first_fail < first_surv) & \
                 (st["i"] + 1 < st["last_start"])
             ff = jnp.clip(first_fail, 0, SM - 1)
-            st = emit(st, do_out, st["i"] + 1, st["st_qe"][rows, ff],
-                      st["st_k"][rows, ff], st["st_s"][rows, ff])
+            oh_ff = sidx == ff[:, None]
+            pick_ff = lambda a: jnp.sum(jnp.where(oh_ff, a, 0), axis=1)
+            st = emit(st, do_out, st["i"] + 1, pick_ff(st["st_qe"]),
+                      pick_ff(st["st_k"]), pick_ff(st["st_s"]))
             # bwa tracks the last RECORDED entry's start (containment skips do
             # not move it)
             st["last_start"] = jnp.where(do_out, st["i"] + 1, st["last_start"])

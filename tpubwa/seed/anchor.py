@@ -31,7 +31,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..index.device import DeviceIndex, inv_psi, occ4_all, sel4, sel_vec
+from ..index.device import DeviceIndex, occ4_all, sa_lookup, sel4, sel_vec
 from ..ops.window import query_window_asc, text_window_asc
 
 (PH_ANCHOR, PH_FWD, PH_BINIT, PH_BWD, PH_R2, PH_DONE,
@@ -135,7 +135,8 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         out_s=jnp.zeros((B, M), jnp.int32),
         n_out=zB, n_out_r1=zB, cand_ptr=zB,
         overflow=jnp.zeros((B,), bool),
-        loc_k=zB, loc_off=zB, p_txt=zB,   # s==1 fast-path state
+        loc_k=zB,                          # s==1 fast-path: rank to locate
+        s1_blk=jnp.zeros((B,), bool),      # fast path bailed for this pass
         it=jnp.int32(0),
     )
 
@@ -250,6 +251,7 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         st["i"] = jnp.where(fi, st["x"] + 1, st["i"])
         st["n_st"] = jnp.where(fi, 0, st["n_st"])
         st["last_start"] = jnp.where(fi, BIG, st["last_start"])
+        st["s1_blk"] = st["s1_blk"] & ~fi
 
         st["ph"] = jnp.where(r1_done, PH_R2,
                              jnp.where(fi, PH_FWD,
@@ -287,9 +289,10 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             st["ph"] = jnp.where(to_b, PH_BINIT, st["ph"])
             if cfg.fast_s1:
                 # unique interval: switch to SA-locate + direct text compare
-                go_loc = adv & (ns == 1)
+                # (only reachable in round 1 — in round 2 min_intv >= 2, so
+                # ns==1 takes the `small` exit before `adv`)
+                go_loc = adv & (ns == 1) & ~st["s1_blk"]
                 st["loc_k"] = jnp.where(go_loc, nk, st["loc_k"])
-                st["loc_off"] = jnp.where(go_loc, 0, st["loc_off"])
                 st["ph"] = jnp.where(go_loc, PH_LOC, st["ph"])
 
             # ---------- PH_BINIT (gather-free; runs in the same iteration the
@@ -421,9 +424,47 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
                                  st["ph"])
             return st
 
-        st = jax.lax.cond(jnp.any(ph == PH_FWD), fwd_section,
-                          lambda s: dict(s), st)
+        def loc_section(st):
+            # s==1 fast path [bwa: bwt_smem1 forward loop, s invariant]:
+            # the unique suffix's text position comes from one SA walk;
+            # the rest of the forward match is ONE vectorized window
+            # compare instead of ~L sequential FM extensions. k is
+            # invariant while every extension succeeds (the one l-window
+            # occurrence is the matching base, so no higher-ranked counts
+            # accumulate), so the pushed (k, s=1, qe) is exactly what the
+            # FM loop would push at its final size change / end-of-query.
+            st = dict(st)
+            p = st["ph"] == PH_LOC
+            pos = sa_lookup(didx, jnp.where(p, st["loc_k"], 0), p)
+            i = st["i"]
+            tstart = pos + (i - st["x"])        # text pos of q[i]'s mate
+            qw = query_window_asc(seqs, i, L)   # q[i + j]
+            tw = text_window_asc(
+                didx, jnp.clip(tstart, 0, 2 * didx.l_pac - 1), L)
+            jj = jnp.arange(L, dtype=jnp.int32)[None, :]
+            # the window is strand-contiguous only up to the fwd/rev
+            # boundary; a match still alive there must bail to FM steps
+            bound = jnp.where(tstart < didx.l_pac, didx.l_pac,
+                              2 * didx.l_pac)
+            tcap = bound - tstart
+            qcap = lens - i
+            okm = (qw == tw) & (qw <= 3) & (jj < tcap[:, None]) & \
+                (jj < qcap[:, None])
+            m = jnp.cumprod(okm.astype(jnp.int32), axis=1).sum(axis=1)
+            bail = p & (m == tcap) & (m < qcap) & (seq_at(i + m) <= 3)
+            fin = p & ~bail
+            st = push_stack(st, fin, st["ik_k"], st["ik_l"], st["ik_s"],
+                            i + m)
+            st["s1_blk"] = st["s1_blk"] | bail
+            st["ph"] = jnp.where(fin, PH_BINIT,
+                                 jnp.where(bail, PH_FWD, st["ph"]))
+            return st
+
+        st = jax.lax.cond(jnp.any((ph == PH_FWD) | (ph == PH_BINIT)),
+                          fwd_section, lambda s: dict(s), st)
         st = jax.lax.cond(jnp.any(ph == PH_BWD), bwd_section,
+                          lambda s: dict(s), st)
+        st = jax.lax.cond(jnp.any(st["ph"] == PH_LOC), loc_section,
                           lambda s: dict(s), st)
 
         # close round 1 bookkeeping when transitioning to PH_R2 from anchor

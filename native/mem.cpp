@@ -712,7 +712,8 @@ static int64_t get_rlen(const std::vector<uint32_t> &cigar) {
 void aln2sam_one(const MemOpt &opt, const std::vector<std::string> &rnames,
                  std::string *str, const std::string &name, int l_seq,
                  const uint8_t *seq, const char *qual, const Aln &p_in,
-                 const Aln *m, int which, const std::string &rg_id) {
+                 const Aln *m, int which, const std::string &rg_id,
+                 const Aln *list, int n_list) {
   Aln p = p_in;  // copy: flags are modified below
   p.flag |= m ? 0x1 : 0;
   p.flag |= p.rid < 0 ? 0x4 : 0;
@@ -811,6 +812,35 @@ void aln2sam_one(const MemOpt &opt, const std::vector<std::string> &rnames,
     *str += "\tRG:Z:";
     *str += rg_id;
   }
+  if (!(p.flag & 0x100) && list) {
+    // SA:Z on every non-secondary record when other non-secondary records
+    // exist [bwa: mem_aln2sam SA block]
+    int i;
+    for (i = 0; i < n_list; ++i)
+      if (i != which && !(list[i].flag & 0x100)) break;
+    if (i < n_list) {
+      *str += "\tSA:Z:";
+      for (i = 0; i < n_list; ++i) {
+        const Aln &r = list[i];
+        if (i == which || (r.flag & 0x100)) continue;
+        *str += rnames[r.rid];
+        *str += ',';
+        *str += std::to_string(r.pos + 1);
+        *str += ',';
+        *str += r.is_rev ? '-' : '+';
+        *str += ',';
+        for (uint32_t c : r.cigar) {
+          *str += std::to_string(c >> 4);
+          *str += "MIDSH"[c & 0xf];
+        }
+        *str += ',';
+        *str += std::to_string(r.mapq);
+        *str += ',';
+        *str += std::to_string(r.NM);
+        *str += ';';
+      }
+    }
+  }
   if (!p.xa.empty()) {
     *str += "\tXA:Z:";
     *str += p.xa;
@@ -901,7 +931,7 @@ std::string mem_reg2sam_se_mate(const MemOpt &opt, const FMIdx &idx,
   } else {
     for (size_t k = 0; k < aa.size(); ++k)
       aln2sam_one(opt, rnames, &str, name, l_query, seq, qual, aa[k], mate,
-                  (int)k, rg_id);
+                  (int)k, rg_id, aa.data(), (int)aa.size());
   }
   return str;
 }

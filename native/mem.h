@@ -73,11 +73,14 @@ std::string mem_reg2sam_se_mate(const MemOpt &opt, const FMIdx &idx,
 uint64_t hash_64(uint64_t key);
 int64_t cal_max_gap(const MemOpt &opt, int qlen);
 
-// single SAM record emission [bwa: mem_aln2sam]
+// single SAM record emission [bwa: mem_aln2sam]. `list`/`n_list` are the
+// read's full non-secondary record list: a non-0x100 record gets an SA:Z
+// tag listing every OTHER non-0x100 record (chimeric/supplementary links).
 void aln2sam_one(const MemOpt &opt, const std::vector<std::string> &rnames,
                  std::string *str, const std::string &name, int l_seq,
                  const uint8_t *seq, const char *qual, const Aln &p,
-                 const Aln *mate, int which, const std::string &rg_id);
+                 const Aln *mate, int which, const std::string &rg_id,
+                 const Aln *list = nullptr, int n_list = 0);
 
 // XA string for the region at index `pri` [bwa: mem_gen_alt]
 std::string gen_alt_for(const MemOpt &opt, const FMIdx &idx,

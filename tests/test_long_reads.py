@@ -84,3 +84,40 @@ def test_soft_clip_adapterish(world):
             continue
         assert f[5].endswith("S") or f[5].startswith(
             tuple(str(d) for d in range(10))) and "S" in f[5], f[5]
+
+
+def test_supplementary_sa_tag(world):
+    """Every non-secondary record of a split read carries SA:Z listing the
+    other non-secondary records [bwa: mem_aln2sam SA block]."""
+    idx, aln, fwd = world
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(4):
+        p1 = int(rng.integers(0, 25000))
+        p2 = int(rng.integers(0, 25000))
+        seq = np.concatenate([fwd[p1:p1 + 120], fwd[p2:p2 + 130]])
+        recs.append(fastx.FastxRecord(f"sa{i}", dna.decode(seq)))
+    batch = fastx.batch_reads(recs)
+    out = aln.align_se(batch, id0=0)
+    by_name = {}
+    for line in out.strip().split("\n"):
+        f = line.split("\t")
+        by_name.setdefault(f[0], []).append(f)
+    n_sa = 0
+    for name, rows in by_name.items():
+        nonsec = [r for r in rows if not int(r[1]) & 0x100]
+        if len(nonsec) < 2:
+            continue
+        n_sa += 1
+        for r in nonsec:
+            tags = {t.split(":", 1)[0]: t for t in r[11:]}
+            assert "SA" in tags, f"{name}: missing SA on flag {r[1]}"
+            entries = [e for e in tags["SA"].split(":", 2)[2].split(";") if e]
+            assert len(entries) == len(nonsec) - 1
+            # each entry names one of the other records' rname,pos,strand
+            others = {(o[2], o[3], "-" if int(o[1]) & 0x10 else "+")
+                      for o in nonsec if o is not r}
+            got = {(e.split(",")[0], e.split(",")[1], e.split(",")[2])
+                   for e in entries}
+            assert got == others
+    assert n_sa >= 3

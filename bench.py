@@ -51,7 +51,8 @@ def main():
 
     t0 = time.time()
     idx = get_index()
-    aln = Aligner(idx, MemOptions())
+    aln = Aligner(idx, MemOptions(),
+                  lut_cache=REPO / "build" / f"bench_lut_{GENOME_LEN}.npz")
     fwd = idx.get_seq(0, idx.l_pac).astype(np.uint8)
     recs = fastx.simulate_reads(fwd, N_READS, read_len=READ_LEN,
                                 error_rate=0.01, seed=7)

@@ -30,26 +30,30 @@ def world():
     recs = fastx.simulate_reads(fwd, 32, read_len=100, error_rate=0.02,
                                 seed=1)
     batch = fastx.batch_reads(recs)
-    cfgs = configs_from_opts(MemOptions())
-    return didx, batch, cfgs
+    opt = MemOptions()
+    cfgs = configs_from_opts(opt)
+    from tpubwa.seed.lut import KmerLUT
+    lut = KmerLUT.build(idx, min_seed_len=opt.min_seed_len)
+    return didx, lut, batch, cfgs
 
 
 def test_sharded_worker1_matches_single(world):
-    didx, batch, (scfg, ccfg, ecfg) = world
+    didx, lut, batch, (scfg, ccfg, ecfg) = world
     mesh = make_mesh(8)
     seqs = jnp.asarray(batch.seqs.astype(np.int32))
     lens = jnp.asarray(batch.lens)
-    out_sharded = worker1_sharded(mesh, didx, seqs, lens, scfg, ccfg, ecfg)
+    out_sharded = worker1_sharded(mesh, didx, seqs, lens, scfg, ccfg, ecfg,
+                                  lut)
     out_single = jax.jit(
-        lambda d, s, l: worker1_step(d, s, l, scfg, ccfg, ecfg))(
-            didx, seqs, lens)
+        lambda d, s, l, u: worker1_step(d, s, l, u, scfg=scfg, ccfg=ccfg,
+                                        ecfg=ecfg))(didx, seqs, lens, lut)
     for k in out_single:
         a, b = np.asarray(out_sharded[k]), np.asarray(out_single[k])
         assert np.array_equal(a, b), k
 
 
 def test_insert_size_psum_matches_global(world):
-    didx, batch, _ = world
+    didx, lut, batch, _ = world
     mesh = make_mesh(8)
     rng = np.random.default_rng(2)
     inserts = rng.integers(0, 900, 64).astype(np.int32)

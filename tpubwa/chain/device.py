@@ -82,6 +82,9 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     """
     qb, qe, k, s, n = (smems[x] for x in ("qb", "qe", "k", "s", "n"))
     B, M = qb.shape
+    # pos >= 0 marks SMEMs whose (unique) text position is pre-resolved by
+    # the seeding stage (seed.lut s==1 shortcut): no SA walk needed
+    pos = smems.get("pos", jnp.full((B, M), -1, jnp.int32))
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
     vs = slot < n[:, None]
     slen = qe - qb
@@ -108,16 +111,20 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     sid = jnp.arange(S, dtype=jnp.int32)[None, :]                  # (1, S)
     own_oh = (offs[:, None, :] <= sid[:, :, None]) & \
         (sid[:, :, None] < (offs + cnt)[:, None, :])               # (B,S,M)
-    fields = jnp.stack([offs, cnt, k, step, qb, slen], axis=-1)    # (B,M,6)
+    fields = jnp.stack([offs, cnt, k, step, qb, slen, pos], axis=-1)  # (B,M,7)
     taken = jax.lax.dot_general(
         own_oh.astype(jnp.int32), fields,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                          # (B,S,6)
-    t_offs, t_cnt, t_k, t_step, qbeg, ln = (taken[..., c]
-                                            for c in range(6))
+        preferred_element_type=jnp.int32)                          # (B,S,7)
+    t_offs, t_cnt, t_k, t_step, qbeg, ln, t_pos = (taken[..., c]
+                                                   for c in range(7))
     t = sid - t_offs
     seed_valid = sid < total[:, None]
     rank = t_k + t * t_step
+    # each owned slot copies its SMEM's pos verbatim (s==1 SMEMs have
+    # exactly one occurrence, so slot -> position is 1:1); unowned slots
+    # contract to 0 — mask them back to the -1 sentinel
+    t_pos = jnp.where(seed_valid, t_pos, -1)
     # --- dense compaction before the invPsi walk: live lanes are row
     # prefixes, so read b's seeds occupy dense rows [rowstart[b], +total[b])
     D = B * cfg.sa_dense
@@ -135,7 +142,10 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     dense_live = (b_for >= 0) & (j_in < tot_eff[b_forc]) & (j_in >= 0)
     flat_idx = jnp.clip(b_forc * S + j_in, 0, B * S - 1)
     dense_rank = jnp.where(dense_live, rank.reshape(-1)[flat_idx], 1)
-    dense_sa = sa_lookup(didx, dense_rank, dense_live)
+    dense_pos = jnp.where(dense_live, t_pos.reshape(-1)[flat_idx], -1)
+    walk_live = dense_live & (dense_pos < 0)   # pre-resolved lanes skip
+    dense_sa = sa_lookup(didx, jnp.where(walk_live, dense_rank, 1), walk_live)
+    dense_sa = jnp.where(dense_pos >= 0, dense_pos, dense_sa)
     rbeg = slice_rows(dense_sa, rowstart, S)
     seed_valid = seed_valid & ~over_budget[:, None]
     rbeg = jnp.where(seed_valid, rbeg, 0)

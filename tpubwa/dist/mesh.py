@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..chain.device import chain_filter, chain_seeds, seeds_from_smems
 from ..extend.worker import extend_chains
 from ..seed.anchor import collect_smems_anchor
+from ..seed.lut import LutSeedConfig, collect_smems_lut
 
 READS_AXIS = "reads"
 
@@ -33,9 +34,12 @@ def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
-def worker1_step(didx, seqs, lens, scfg, ccfg, ecfg):
+def worker1_step(didx, seqs, lens, lut=None, *, scfg, ccfg, ecfg):
     """The full per-shard device step (seed -> chain -> filter -> extend)."""
-    smems = collect_smems_anchor(didx, seqs, lens, scfg)
+    if isinstance(scfg, LutSeedConfig):
+        smems = collect_smems_lut(didx, lut, seqs, lens, scfg)
+    else:
+        smems = collect_smems_anchor(didx, seqs, lens, scfg)
     seeds = seeds_from_smems(didx, smems, ccfg)
     ch = chain_seeds(didx, seeds, ccfg)
     flt = chain_filter(ch, ccfg)
@@ -48,21 +52,21 @@ def worker1_step(didx, seqs, lens, scfg, ccfg, ecfg):
     )
 
 
-def worker1_sharded(mesh: Mesh, didx, seqs, lens, scfg, ccfg, ecfg):
-    """Data-parallel worker1 over the mesh: reads sharded, index replicated.
+def worker1_sharded(mesh: Mesh, didx, seqs, lens, scfg, ccfg, ecfg, lut=None):
+    """Data-parallel worker1 over the mesh: reads sharded, index (and the
+    k-mer jump table) replicated into every chip's HBM.
 
     seqs: (B, L) with B divisible by mesh size. Returns the reg dict with
     outputs sharded along the reads axis (device-resident).
     """
     spec_b = P(READS_AXIS)
-    repl = P()
     fn = jax.jit(
         partial(worker1_step, scfg=scfg, ccfg=ccfg, ecfg=ecfg),
         in_shardings=(None, NamedSharding(mesh, spec_b),
-                      NamedSharding(mesh, spec_b)),
+                      NamedSharding(mesh, spec_b), None),
         out_shardings=NamedSharding(mesh, spec_b),
     )
-    return fn(didx, seqs, lens)
+    return fn(didx, seqs, lens, lut)
 
 
 def insert_size_psum(mesh: Mesh, inserts, valid, max_ins: int):

@@ -28,17 +28,24 @@ from .io.fastx import ReadBatch
 from .opts import MemOptions
 from .oracle import Oracle, to_copt
 from .seed.anchor import AnchorSeedConfig, collect_smems_anchor
+from .seed.lut import KmerLUT, LutSeedConfig, collect_smems_lut
 
 REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
               "seedlen0", "rid")
 
 
 def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
-                      max_chains=32, max_regs=32):
-    scfg = AnchorSeedConfig(max_smems=max_smems,
-                            min_seed_len=opt.min_seed_len,
-                            split_len=opt.split_len,
-                            split_width=opt.split_width)
+                      max_chains=32, max_regs=32, seed_impl="lut"):
+    if seed_impl == "lut":
+        scfg = LutSeedConfig(max_smems=max_smems,
+                             min_seed_len=opt.min_seed_len,
+                             split_len=opt.split_len,
+                             split_width=opt.split_width)
+    else:
+        scfg = AnchorSeedConfig(max_smems=max_smems,
+                                min_seed_len=opt.min_seed_len,
+                                split_len=opt.split_len,
+                                split_width=opt.split_width)
     ccfg = ChainConfig(max_seeds=max_seeds, max_chains=max_chains,
                        max_occ=opt.max_occ, max_chain_gap=opt.max_chain_gap,
                        w=opt.w, min_seed_len=opt.min_seed_len,
@@ -58,18 +65,24 @@ class Aligner:
     """Holds host+device index state and runs batches end to end."""
 
     def __init__(self, idx: FMIndex, opt: MemOptions = MemOptions(),
-                 rg_id: str = "", **caps):
+                 rg_id: str = "", seed_impl: str = "lut",
+                 lut_cache=None, **caps):
         self.idx = idx
         self.opt = opt
         self.rg_id = rg_id
         self.didx = DeviceIndex.from_host(idx)
         self.oracle = Oracle(idx)
-        self.scfg, self.ccfg, self.ecfg = configs_from_opts(opt, **caps)
+        self.seed_impl = seed_impl
+        self.scfg, self.ccfg, self.ecfg = configs_from_opts(
+            opt, seed_impl=seed_impl, **caps)
+        self.lut = (KmerLUT.build(idx, min_seed_len=opt.min_seed_len,
+                                  cache=lut_cache)
+                    if seed_impl == "lut" else None)
         self._packed_fn = None
 
     def worker1_device(self, seqs: jnp.ndarray, lens: jnp.ndarray):
         """Device half: returns the reg-state dict from extend_chains."""
-        smems = collect_smems_anchor(self.didx, seqs, lens, self.scfg)
+        smems = self._collect_smems(self.didx, seqs, lens)
         seeds = seeds_from_smems(self.didx, smems, self.ccfg)
         ch = chain_seeds(self.didx, seeds, self.ccfg)
         flt = chain_filter(ch, self.ccfg)
@@ -100,8 +113,8 @@ class Aligner:
             R = self.ecfg.max_regs
             assert R <= 63
 
-            def packed(didx, seqs, lens):
-                st = self.worker1_device_inner(didx, seqs, lens)
+            def packed(didx, lut, seqs, lens):
+                st = self.worker1_device_inner(didx, seqs, lens, lut)
                 B = seqs.shape[0]
                 cap = self.CAP_FACTOR * B
                 rb, re = st["rb"], st["re"]
@@ -144,7 +157,7 @@ class Aligner:
                           | st["l_rep"] << 7)
                 return jnp.concatenate([counts, rows.reshape(-1)])
             self._packed_fn = jax.jit(packed)
-        return self._packed_fn(self.didx, seqs, lens)
+        return self._packed_fn(self.didx, self.lut, seqs, lens)
 
     def _unpack_host(self, buf: np.ndarray, B: int):
         """Inverse of worker1_packed's packing: returns (n, ovf, l_rep,
@@ -169,8 +182,14 @@ class Aligner:
                          seedlen0, rid], axis=1).astype(np.int32)
         return ne.astype(np.int32), ovf, l_rep.astype(np.int32), flat
 
-    def worker1_device_inner(self, didx, seqs, lens):
-        smems = collect_smems_anchor(didx, seqs, lens, self.scfg)
+    def _collect_smems(self, didx, seqs, lens, lut=None):
+        if self.seed_impl == "lut":
+            return collect_smems_lut(didx, lut if lut is not None
+                                     else self.lut, seqs, lens, self.scfg)
+        return collect_smems_anchor(didx, seqs, lens, self.scfg)
+
+    def worker1_device_inner(self, didx, seqs, lens, lut=None):
+        smems = self._collect_smems(didx, seqs, lens, lut)
         seeds = seeds_from_smems(didx, smems, self.ccfg)
         ch = chain_seeds(didx, seeds, self.ccfg)
         flt = chain_filter(ch, self.ccfg)

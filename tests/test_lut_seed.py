@@ -106,12 +106,18 @@ def test_smems_random_reads(world):
 
 def test_smems_repeat_reads_trigger_round2(world):
     idx, didx, orc, fwd, lut = world
-    # reads from inside the planted 200bp duplicate: SMEMs there have occ 2
+    # reads from inside the planted 200bp duplicate: SMEMs there have occ 2.
+    # Every lane here walks the FM loop (s stays 2 across the repeat), so
+    # widen the dense budget — real batches mix repeat and unique reads,
+    # and budget overflow correctly falls back to the oracle.
     B, L = 16, 100
     reads = np.stack([fwd[1000 + 7 * i: 1000 + 7 * i + L]
                       for i in range(B)]).astype(np.int32)
     lens = np.full(B, L, np.int32)
-    assert _cmp_smems(didx, lut, orc, idx, reads, lens) == B
+    cfg = LutSeedConfig(min_seed_len=OPT.min_seed_len,
+                        split_len=OPT.split_len,
+                        split_width=OPT.split_width, fm_dense=1)
+    assert _cmp_smems(didx, lut, orc, idx, reads, lens, cfg) == B
 
 
 def test_smems_with_ns_and_short_reads(world):

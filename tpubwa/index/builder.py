@@ -30,7 +30,7 @@ from ..utils import dna
 
 OCC_INTERVAL = 64       # bases per occ checkpoint (4 uint32 words)
 BASES_PER_WORD = 16
-DEFAULT_SA_INTV = 8   # denser than bwa (32): HBM is plentiful, invPsi walks are latency-bound
+DEFAULT_SA_INTV = 4   # denser than bwa (32): HBM is plentiful, invPsi walks are latency-bound
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:

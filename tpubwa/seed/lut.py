@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from ..index.builder import FMIndex
 from ..index.device import DeviceIndex, backward_ext, sa_lookup
-from ..ops.window import text_window_desc
+from ..ops.window import text_window_asc, text_window_desc
 from .device import _emit_mask
 
 BIG = 2**30
@@ -160,8 +160,12 @@ def build_kmer_lut_arrays(idx: FMIndex, k0: int):
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KmerLUT:
+    """k-mer jump table. Rows are packed to 8 bytes — the table is the
+    biggest random-gather target in seeding, and gather throughput drops
+    with table footprint: field0 = text position when s == 1 (k is then
+    never needed: the occurrence is known), else the interval rank k."""
     k0: int                    # static
-    ksp: jnp.ndarray           # int32[4^k0, 3]: (k, s, pos|-1)
+    ksp: jnp.ndarray           # int32[4^k0, 2]: (pos-if-s==1-else-k, s)
 
     def tree_flatten(self):
         return ((self.ksp,), (self.k0,))
@@ -180,10 +184,10 @@ class KmerLUT:
             cache = Path(cache)
             if cache.exists():
                 z = np.load(str(cache))
-                if int(z["k0"]) == k0:
+                if int(z["k0"]) == k0 and z["ksp"].shape[1] == 2:
                     return KmerLUT(k0, jnp.asarray(z["ksp"]))
         K, S, P = build_kmer_lut_arrays(idx, k0)
-        ksp = np.stack([K, S, P], axis=1)
+        ksp = np.stack([np.where(S == 1, P, K), S], axis=1)
         if cache is not None:
             np.savez(str(cache), k0=k0, ksp=ksp)
         return KmerLUT(k0, jnp.asarray(ksp))
@@ -200,12 +204,24 @@ class LutSeedConfig:
     min_seed_len: int = 19
     split_len: int = 28
     split_width: int = 10
+    # dense-domain budgets (per-offset gather cost makes dead lanes
+    # expensive; live work is compacted before the loops). Lanes/reads that
+    # do not fit a budget overflow their read to the host oracle.
+    fm_full: int = 3         # full-width lockstep FM steps before compacting
+    fm_dense: int = 8        # FM-loop survivor lanes: B*L // fm_dense
+    offdiag_dense: int = 16  # off-diagonal fallback lanes: B*L // offdiag_dense
+    r2_rows: int = 4         # round-2 candidate reads: B // r2_rows
 
 
-def _kmer_codes(seqs: jnp.ndarray, lens: jnp.ndarray, k0: int):
+def _kmer_codes(seqs: jnp.ndarray, lens: jnp.ndarray, k0: int,
+                min_len: int):
     """Per end j (lane jj = j-1): code of read[j-k0, j) with the leftmost
     base as the highest base-4 digit; valid iff the window is in-read and
-    N-free. k0 static shifts, no gathers."""
+    N-free. k0 static shifts, no gathers.
+
+    Ends j < min_len are excluded: they can never emit (length < min_len),
+    and the only consumer of their b(j) is end j-1's maximality test,
+    which is exact for any placeholder > j-1-min_len (we store b=j)."""
     B, L = seqs.shape
     code = jnp.zeros((B, L), jnp.int32)
     bad = jnp.zeros((B, L), bool)
@@ -218,25 +234,67 @@ def _kmer_codes(seqs: jnp.ndarray, lens: jnp.ndarray, k0: int):
         code = code + (jnp.where(sh > 3, 0, sh) << (2 * t))
         bad = bad | (sh > 3)
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
-    valid = (jj >= k0 - 1) & (jj + 1 <= lens[:, None]) & ~bad
+    valid = (jj >= max(k0, min_len) - 1) & (jj + 1 <= lens[:, None]) & ~bad
     return code, valid
 
 
+def _compact_rows(mask_b: jnp.ndarray, Dr: int):
+    """Compact rows with mask into Dr dense slots.
+
+    Returns (srcrow (Dr,), rpos (B,), room (B,), dense_valid (Dr,)):
+    dense row r maps to read srcrow[r]; read b (if room) maps to dense row
+    rpos[b]. One O(B) scatter."""
+    B = mask_b.shape[0]
+    rpos = jnp.cumsum(mask_b.astype(jnp.int32)) - 1
+    room = mask_b & (rpos < Dr)
+    dest = jnp.where(room, rpos, Dr)
+    srcrow = jnp.zeros((Dr + 1,), jnp.int32).at[dest].set(
+        jnp.arange(B, dtype=jnp.int32), mode="drop")[:Dr]
+    n = jnp.minimum(rpos[-1] + 1, Dr) if B else jnp.int32(0)
+    dense_valid = jnp.arange(Dr, dtype=jnp.int32) < n
+    return srcrow, rpos, room, dense_valid
+
+
 def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
-              lens: jnp.ndarray, v: jnp.ndarray, shortcut: bool):
+              lens: jnp.ndarray, v: jnp.ndarray, shortcut: bool,
+              cfg: LutSeedConfig, codes=None, _stop_after: str = ""):
+    def _stopped(stage, *arrs):
+        """Debug-only partial-pipeline exit (perf bisection)."""
+        B, L = seqs.shape
+        z = jnp.zeros((B, L + 1), jnp.int32)
+        out = [z, z, z, z, jnp.zeros((B,), bool), jnp.int32(0)]
+        for i, a in enumerate(arrs):
+            out[i] = a
+        return tuple(out)
     """Per-end walk from the k0-mer start.  seqs (B, L) int32, v (B,).
 
     Returns (bstart, k, s, pos) each (B, L+1) indexed by end j (entry 0
-    unused; pos >= 0 only for s==1-resolved lanes) and crossed (B,) — reads
-    whose text comparison hit the strand boundary (must overflow).
+    unused; pos >= 0 only for s==1-resolved lanes) and overflow (B,) —
+    reads that exceeded a dense budget or whose text comparison hit the
+    strand boundary (realigned by the host oracle).
+
+    Structure (per-offset gather cost dominates, so every phase runs on a
+    compacted live set):
+      LUT start -> dense-lane FM loop (only s>=2 lanes) -> batched SA walk
+      for lanes that became unique mid-loop -> per-READ diagonal text
+      comparison (one genome window per read finishes ALL its unique
+      lanes) -> row-compacted per-lane fallback for off-diagonal lanes.
     """
     B, L = seqs.shape
     k0 = lut.k0
+    l_pac = didx.l_pac
     j = jnp.arange(1, L + 1, dtype=jnp.int32)[None, :]
+    jj = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    code, valid = _kmer_codes(seqs, lens, k0)
-    row = lut.ksp[jnp.clip(code, 0, lut.ksp.shape[0] - 1)]      # (B, L, 3)
-    kl, sl, pl = row[..., 0], row[..., 1], row[..., 2]
+    if codes is not None and len(codes) == 3:
+        valid, f0, sl = codes          # pre-gathered LUT rows (round 2)
+    else:
+        code, valid = (codes if codes is not None
+                       else _kmer_codes(seqs, lens, k0, cfg.min_seed_len))
+        row = lut.ksp[jnp.clip(code, 0, lut.ksp.shape[0] - 1)]  # (B, L, 2)
+        f0, sl = row[..., 0], row[..., 1]
+    kl = jnp.where(sl == 1, 0, f0)     # rank (unused when unique)
+    pl = jnp.where(sl == 1, f0, -1)    # position (unique entries only)
     okv = valid & (sl >= v[:, None]) & (sl > 0)
     bpos = jnp.where(okv, j - k0, j)
     k = jnp.where(okv, kl, 0)
@@ -250,72 +308,181 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         sa_now = jnp.zeros((B, L), bool)
         pos1 = jnp.full((B, L), -1, jnp.int32)
     fm = okv & ~sa_now & (bpos > 0)
+    overflow = jnp.zeros((B,), bool)
+    sa_mid = jnp.zeros((B, L), bool)     # became unique mid-walk
+    v_b = v[:, None]
+    v1_b = v_b == 1
+    if _stop_after == "lut":
+        return _stopped("lut", jnp.pad(bpos, ((0, 0), (1, 0))),
+                        jnp.pad(k, ((0, 0), (1, 0))))
 
-    # ---- FM phase: all live lanes extend left one base per iteration.
-    # At step t every live lane has bpos = j - k0 - t, so the next base is
-    # a diagonal shift of seqs: ONE dynamic-slice, no gather.
+    # ---- FM stage 1: a few full-width lockstep steps. Live lanes all
+    # start together and stop forever on failure, so at step t the next
+    # base is a STATIC diagonal slice of seqs — no gathers except occ.
     padded = jnp.concatenate(
         [jnp.full((B, L), 4, jnp.int32), seqs.astype(jnp.int32)], axis=1)
-
-    def fm_body(st):
-        t, k, s, bpos, fm, sa_now, pos1 = st
-        c = jax.lax.dynamic_slice(
-            padded, (0, jnp.maximum(L - k0 - t, 0)), (B, L))
+    it = jnp.int32(0)
+    for t in range(cfg.fm_full):
+        c = padded[:, L - k0 - t: 2 * L - k0 - t]
         can = fm & (c < 4)
         k2, s2 = backward_ext(didx, jnp.where(can, k, 1),
-                              jnp.where(can, s, 1),
-                              jnp.where(can, c, 0))
-        good = can & (s2 >= v[:, None])
+                              jnp.where(can, s, 1), jnp.where(can, c, 0))
+        good = can & (s2 >= v_b)
         k = jnp.where(good, k2, k)
         s = jnp.where(good, s2, s)
         bpos = jnp.where(good, bpos - 1, bpos)
         if shortcut:
-            new_sa = good & (s2 == 1) & v1
-            sa_now2 = sa_now | new_sa
+            new_sa = good & (s2 == 1) & v1_b
+            sa_mid = sa_mid | new_sa
         else:
             new_sa = jnp.zeros_like(good)
-            sa_now2 = sa_now
         fm = good & ~new_sa & (bpos > 0)
-        return t + 1, k, s, bpos, fm, sa_now2, pos1
 
-    def fm_cond(st):
-        return jnp.any(st[4]) & (st[0] < L)
+    if _stop_after == "fm1":
+        return _stopped("fm1", jnp.pad(bpos, ((0, 0), (1, 0))),
+                        jnp.pad(k, ((0, 0), (1, 0))),
+                        jnp.pad(s, ((0, 0), (1, 0))))
 
-    it, k, s, bpos, _, sa_now, pos1 = jax.lax.while_loop(
-        fm_cond, fm_body, (jnp.int32(0), k, s, bpos, fm, sa_now, pos1))
+    # ---- FM stage 2: compact the (few) survivors and loop to completion
+    BL = B * L
+    D = max(BL // cfg.fm_dense, 256)
+    fm_f = fm.reshape(-1)
+    cs = jnp.cumsum(fm_f.astype(jnp.int32))
+    dpos = cs - 1                                     # dense slot per lane
+    overflow |= (fm & (dpos.reshape(B, L) >= D)).any(axis=1)
+    src = jnp.searchsorted(cs, jnp.arange(1, D + 1, dtype=jnp.int32)) \
+        .astype(jnp.int32)
+    srcc = jnp.clip(src, 0, BL - 1)
+    dvalid = jnp.arange(D, dtype=jnp.int32) < cs[-1]
+    kd = k.reshape(-1)[srcc]
+    sd = s.reshape(-1)[srcc]
+    bd = bpos.reshape(-1)[srcc]
+    b_of = srcc // L
+    vd = v[b_of]
+    v1d = vd == 1
+    seqs_f = seqs.reshape(-1).astype(jnp.int32)
 
-    crossed = jnp.zeros((B,), bool)
+    def fm_body(st):
+        t, kd, sd, bd, live, sad = st
+        i = bd - 1
+        c = seqs_f[jnp.clip(b_of * L + i, 0, BL - 1)]
+        can = live & (c < 4) & (i >= 0)
+        k2, s2 = backward_ext(didx, jnp.where(can, kd, 1),
+                              jnp.where(can, sd, 1),
+                              jnp.where(can, c, 0))
+        good = can & (s2 >= vd)
+        kd = jnp.where(good, k2, kd)
+        sd = jnp.where(good, s2, sd)
+        bd = jnp.where(good, bd - 1, bd)
+        if shortcut:
+            new_sa = good & (s2 == 1) & v1d
+            sad = sad | new_sa
+        else:
+            new_sa = jnp.zeros_like(good)
+        live = good & ~new_sa & (bd > 0)
+        return t + 1, kd, sd, bd, live, sad
+
+    it, kd, sd, bd, _, sad = jax.lax.while_loop(
+        lambda st: jnp.any(st[4]) & (st[0] < L), fm_body,
+        (jnp.int32(0), kd, sd, bd, dvalid & fm_f[srcc], jnp.zeros((D,), bool)))
+
+    # write back: one packed row gather (B*L, 3)
+    packed = jnp.stack([kd, sd, bd, sad.astype(jnp.int32)], axis=1)
+    back = packed[jnp.clip(dpos, 0, D - 1)].reshape(B, L, 4)
+    took = fm & (dpos.reshape(B, L) < D)
+    k = jnp.where(took, back[..., 0], k)
+    s = jnp.where(took, back[..., 1], s)
+    bpos = jnp.where(took, back[..., 2], bpos)
+    if _stop_after == "fm2":
+        return _stopped("fm2", jnp.pad(bpos, ((0, 0), (1, 0))),
+                        jnp.pad(k, ((0, 0), (1, 0))),
+                        jnp.pad(s, ((0, 0), (1, 0))))
     if shortcut:
-        # ---- SA resolve for lanes that became unique mid-walk
-        need = sa_now & (pos1 < 0)
-        posw = sa_lookup(didx, jnp.where(need, k, 1), need)
-        pos1 = jnp.where(need, posw, pos1)
+        # mid-walk unique lanes carry a rank but NOT a position; most are
+        # finished by the diagonal comparison below without any SA walk
+        sa_mid = sa_mid | (took & (back[..., 3] > 0))
+        sa_all = sa_now | sa_mid
 
-        # ---- one text comparison finishes every unique lane's walk
-        flat_sa = sa_now.reshape(-1)
-        p = jnp.where(flat_sa, pos1.reshape(-1), 1)
-        bp = bpos.reshape(-1)
-        W = L
-        # query window: read[bpos-1-t]; per-lane shift of the reversed read
-        revq = seqs[:, ::-1].astype(jnp.int8)                     # (B, L)
-        rows = jnp.broadcast_to(revq[:, None, :], (B, L, L)).reshape(B * L, L)
-        qw = _shift_rows(rows, L - bp, W)
-        tw = text_window_desc(didx, jnp.clip(p, 1, 2 * didx.l_pac),
-                              W).astype(jnp.int8)
-        l_pac = didx.l_pac
-        tcap = jnp.where(p >= l_pac, p - l_pac, p)                # strand floor
-        tt = jnp.arange(W, dtype=jnp.int32)[None, :]
-        eq = (qw == tw) & (qw >= 0) & (qw <= 3)
-        e_raw = jnp.cumprod(eq.astype(jnp.int32), axis=1).sum(axis=1)
-        e = jnp.minimum(jnp.minimum(e_raw, bp), tcap)
-        e = jnp.where(flat_sa, e, 0)
-        # matched all the way to the strand boundary with read left: the FM
-        # walk could continue across; bail to the oracle (rare)
-        crossed_l = flat_sa & (tcap < bp) & (e_raw >= tcap)
-        crossed = crossed_l.reshape(B, L).any(axis=1)
-        e2 = e.reshape(B, L)
-        bpos = jnp.where(sa_now, bpos - e2, bpos)
-        pos1 = jnp.where(sa_now, pos1 - e2, pos1)
+        # ---- per-READ diagonal text comparison: one genome window per
+        # read + a cummax over the mismatch mask finishes every unique
+        # lane whose occurrence lies on the read's reference diagonal.
+        # The reference diagonal comes from a position-known (LUT-unique)
+        # lane; reads with none resolve ONE lane by a (B,)-sized SA walk.
+        first_k = jnp.min(jnp.where(sa_now, jj, L), axis=1)
+        has_k = first_k < L
+        oh_k = sa_now & (jj == first_k[:, None])
+        diag_known = jnp.sum(jnp.where(oh_k, pos1 - bpos, 0), axis=1)
+        first_m = jnp.min(jnp.where(sa_mid, jj, L), axis=1)
+        has_m = (first_m < L) & ~has_k
+        oh_m = sa_mid & (jj == first_m[:, None])
+        k_first = jnp.sum(jnp.where(oh_m, k, 0), axis=1)
+        b_first = jnp.sum(jnp.where(oh_m, bpos, 0), axis=1)
+        pos_first = sa_lookup(didx, jnp.where(has_m, k_first, 1), has_m)
+        ref_diag = jnp.where(has_k, diag_known, pos_first - b_first)
+        has_sa = has_k | has_m
+        floor = jnp.where(ref_diag >= l_pac, l_pac, 0)
+        ceil = jnp.where(ref_diag >= l_pac, 2 * l_pac, l_pac)
+        diag_ok = has_sa & (ref_diag >= floor) & \
+            (ref_diag + lens <= ceil)
+        tw = text_window_asc(didx, jnp.clip(ref_diag, 0, 2 * l_pac - 1), L)
+        mism = (seqs != tw) | (seqs > 3) | (jj >= lens[:, None])
+        lastm = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(mism, jj, -1), axis=1)        # (B, L)
+        b_diag = lastm + 1
+        # a lane is on-diagonal if its known position says so, or (rank-
+        # only lanes) if its matched segment [bpos, j) matches the diagonal
+        # — then the s==1 occurrence IS the diagonal one, exactly
+        ondiag = diag_ok[:, None] & (
+            (sa_now & (pos1 - bpos == ref_diag[:, None]))
+            | (sa_mid & (b_diag <= bpos)))
+        offdiag = sa_all & ~ondiag
+        bpos = jnp.where(ondiag, b_diag, bpos)
+        pos1 = jnp.where(ondiag, ref_diag[:, None] + b_diag, pos1)
+        if _stop_after == "diag":
+            return _stopped("diag", jnp.pad(bpos, ((0, 0), (1, 0))),
+                            jnp.pad(k, ((0, 0), (1, 0))),
+                            jnp.pad(s, ((0, 0), (1, 0))),
+                            jnp.pad(pos1, ((0, 0), (1, 0))))
+
+        # ---- off-diagonal fallback: per-lane SA resolve + window compare
+        # on a dense lane set (off-diagonal lanes are a few % of B*L —
+        # error-aliased k-mers with a random unique hit elsewhere)
+        off_f = offdiag.reshape(-1)
+        cs3 = jnp.cumsum(off_f.astype(jnp.int32))
+        D3 = max(BL // cfg.offdiag_dense, 256)
+        dpos3 = cs3 - 1
+        overflow |= (offdiag & (dpos3.reshape(B, L) >= D3)).any(axis=1)
+        src3 = jnp.searchsorted(
+            cs3, jnp.arange(1, D3 + 1, dtype=jnp.int32)).astype(jnp.int32)
+        src3c = jnp.clip(src3, 0, BL - 1)
+        live3 = jnp.arange(D3, dtype=jnp.int32) < cs3[-1]
+        b_of3 = src3c // L
+        bp3 = jnp.where(live3, bpos.reshape(-1)[src3c], 0)
+        p3 = jnp.where(live3, pos1.reshape(-1)[src3c], 1)
+        need3 = live3 & (p3 < 0)       # rank-only lanes: resolve here
+        k3 = jnp.where(need3, k.reshape(-1)[src3c], 1)
+        p3 = jnp.where(need3, sa_lookup(didx, k3, need3), p3)
+        revq = seqs[:, ::-1].astype(jnp.int8)
+        rows3 = revq[b_of3]                                      # (D3, L)
+        qw = _shift_rows(rows3, L - bp3, L)
+        tw2 = text_window_desc(didx, jnp.clip(p3, 1, 2 * l_pac),
+                               L).astype(jnp.int8)
+        tcap = jnp.where(p3 >= l_pac, p3 - l_pac, p3)
+        eq = (qw == tw2) & (qw >= 0) & (qw <= 3)
+        e_raw = jnp.cumprod(eq.astype(jnp.int8), axis=1).sum(
+            axis=1, dtype=jnp.int32)
+        e3 = jnp.minimum(jnp.minimum(e_raw, bp3), tcap)
+        e3 = jnp.where(live3, e3, 0)
+        crossed3 = live3 & (tcap < bp3) & (e_raw >= tcap)
+        packed3 = jnp.stack([e3, crossed3.astype(jnp.int32),
+                             p3], axis=1)
+        back3 = packed3[jnp.clip(dpos3, 0, D3 - 1)].reshape(B, L, 3)
+        took3 = offdiag & (dpos3.reshape(B, L) < D3)
+        bpos = jnp.where(took3, bpos - back3[..., 0], bpos)
+        pos1 = jnp.where(took3, back3[..., 2] - back3[..., 0], pos1)
+        overflow |= (took3 & (back3[..., 1] > 0)).any(axis=1)
+
+        sa_now = sa_all
         s = jnp.where(sa_now, 1, s)
         k = jnp.where(sa_now, -1, k)
 
@@ -323,7 +490,7 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
     cat = lambda a: jnp.concatenate([pad, a.astype(jnp.int32)], axis=1)
     return cat(bpos), cat(k), cat(s), cat(pos1 if shortcut else
                                           jnp.full((B, L), -1, jnp.int32)), \
-        crossed, it
+        overflow, it
 
 
 def _shift_rows(rows: jnp.ndarray, sh: jnp.ndarray, W: int) -> jnp.ndarray:
@@ -376,15 +543,22 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
     j_idx = jnp.broadcast_to(jnp.arange(1, L + 1, dtype=jnp.int32)[None, :],
                              (B, L))
 
-    # ---- round 1 ----
-    b1, k1, s1, p1, crossed, _ = _walk_lut(didx, lut, seqs, lens, ones, True)
+    # ---- round 1 (the LUT rows are gathered ONCE and reused by every
+    # round-2 walk — the jump table is the largest random-gather target)
+    code, cvalid = _kmer_codes(seqs, lens, lut.k0, cfg.min_seed_len)
+    lrow = lut.ksp[jnp.clip(code, 0, lut.ksp.shape[0] - 1)]
+    lrows = (cvalid, lrow[..., 0], lrow[..., 1])
+    b1, k1, s1, p1, ovf_w, _ = _walk_lut(didx, lut, seqs, lens, ones, True,
+                                         cfg, lrows)
     m1 = _emit_mask(b1, lens, cfg.min_seed_len)
     (qb1, qe1, kk1, ss1, pp1), n1, ovf1 = _compact_sorted(
         m1, j_idx, [b1[:, 1:], j_idx, k1[:, 1:], s1[:, 1:], p1[:, 1:]], M)
     # round-1 compaction is in end (j) order — the order the oracle visits
     # candidates for round-2 re-seeding
 
-    # ---- round 2: long low-occ round-1 SMEMs re-seeded from the midpoint
+    # ---- round 2: long low-occ round-1 SMEMs re-seeded from the midpoint.
+    # Candidate reads are a small minority, so each round-2 walk runs on a
+    # row-compacted sub-batch (budget B // r2_rows).
     slot_valid = jnp.arange(M)[None, :] < n1[:, None]
     cand = slot_valid & ((qe1 - qb1) >= cfg.split_len) & \
         (ss1 <= cfg.split_width)
@@ -394,7 +568,7 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
 
     all_qb, all_qe, all_k, all_s, all_p = ([qb1], [qe1], [kk1], [ss1], [pp1])
     all_n = [n1]
-    overflow = ovf1 | ovf_cand | crossed
+    overflow = ovf1 | ovf_cand | ovf_w
     for r in range(cfg.max_reseed):
         sel = cand & (cand_rank == r)
         has = sel.any(axis=1)
@@ -402,18 +576,42 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
             has, ((qb1 + qe1) >> 1).max(axis=1, initial=0, where=sel), 0)
         v_r = jnp.where(has, ss1.max(axis=1, initial=0, where=sel) + 1,
                         jnp.int32(BIG))
-        b2, k2, s2, p2, _, _ = _walk_lut(didx, lut, seqs, lens, v_r, False)
-        m2 = _emit_mask(b2, lens, cfg.min_seed_len, cover_mid=mid)
-        m2 &= has[:, None]
-        (qb2, qe2, kk2, ss2, pp2), n2, ovf2 = _compact_sorted(
-            m2, j_idx, [b2[:, 1:], j_idx, k2[:, 1:], s2[:, 1:], p2[:, 1:]], M)
-        all_qb.append(qb2)
-        all_qe.append(qe2)
-        all_k.append(kk2)
-        all_s.append(ss2)
-        all_p.append(pp2)
-        all_n.append(n2)
-        overflow |= ovf2
+        # nearly every read has ONE candidate (any long unique SMEM
+        # qualifies), so r=0 runs full-width; later candidates are rare
+        # and run on a row-compacted sub-batch
+        Dr = B if r == 0 else max(B // cfg.r2_rows, 8)
+        if r == 0:
+            srcrow = jnp.arange(B, dtype=jnp.int32)
+            rpos = srcrow
+            room = jnp.ones((B,), bool)
+            dv = jnp.ones((Dr,), bool)
+        else:
+            srcrow, rpos, room, dv = _compact_rows(has, Dr)
+            overflow |= has & ~room
+        j_idx_d = jnp.broadcast_to(
+            jnp.arange(1, L + 1, dtype=jnp.int32)[None, :], (Dr, L))
+        codes_r = (lrows if r == 0
+                   else tuple(a[srcrow] for a in lrows))
+        b2, k2, s2, p2, ovf2w, _ = _walk_lut(
+            didx, lut, seqs[srcrow], lens[srcrow], v_r[srcrow], False, cfg,
+            codes_r)
+        m2 = _emit_mask(b2, lens[srcrow], cfg.min_seed_len,
+                        cover_mid=mid[srcrow])
+        m2 &= dv[:, None] & has[srcrow][:, None]
+        (qb2d, qe2d, kk2d, ss2d, pp2d), n2d, ovf2d = _compact_sorted(
+            m2, j_idx_d, [b2[:, 1:], j_idx_d, k2[:, 1:], s2[:, 1:],
+                          p2[:, 1:]], M)
+        rp = jnp.clip(rpos, 0, Dr - 1)
+        ok = has & room
+        exp = lambda d, fill=0: jnp.where(ok[:, None], d[rp],
+                                          jnp.full((B, M), fill, d.dtype))
+        all_qb.append(exp(qb2d))
+        all_qe.append(exp(qe2d))
+        all_k.append(exp(kk2d))
+        all_s.append(exp(ss2d))
+        all_p.append(exp(pp2d, -1))
+        all_n.append(jnp.where(ok, n2d[rp], 0))
+        overflow |= jnp.where(ok, (ovf2d | ovf2w)[rp], False)
 
     qb = jnp.concatenate(all_qb, axis=1)
     qe = jnp.concatenate(all_qe, axis=1)

@@ -201,7 +201,32 @@ class Aligner:
         """Returns SAM body text for the batch (deterministic in id0)."""
         seqs = jnp.asarray(batch.seqs.astype(np.int32))
         lens = jnp.asarray(batch.lens)
-        buf = np.asarray(self.worker1_packed(seqs, lens))  # ONE transfer
+        return self._finish_se_buf(
+            batch, np.asarray(self.worker1_packed(seqs, lens)), id0)
+
+    def align_se_stream(self, batches, id0: int = 0, depth: int = 2):
+        """Pipelined SE alignment over an iterable of ReadBatches.
+
+        Dispatches worker1 for up to `depth` batches ahead (async), so the
+        device computes batch i+1 while the host downloads/finishes batch i
+        — the Spark-free analog of the reference's overlapping stages.
+        Yields SAM body text per batch, in order.
+        """
+        pending: list[tuple[ReadBatch, object, int]] = []
+        n = id0
+        for b in batches:
+            seqs = jnp.asarray(b.seqs.astype(np.int32))
+            lens = jnp.asarray(b.lens)
+            pending.append((b, self.worker1_packed(seqs, lens), n))
+            n += b.n
+            if len(pending) > depth:
+                bb, dev, i0 = pending.pop(0)
+                yield self._finish_se_buf(bb, np.asarray(dev), i0)
+        for bb, dev, i0 in pending:
+            yield self._finish_se_buf(bb, np.asarray(dev), i0)
+
+    def _finish_se_buf(self, batch: ReadBatch, buf: np.ndarray,
+                       id0: int) -> str:
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
         offs = np.concatenate([[0], np.cumsum(n)])
 

@@ -257,7 +257,8 @@ def _compact_rows(mask_b: jnp.ndarray, Dr: int):
 
 def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
               lens: jnp.ndarray, v: jnp.ndarray, shortcut: bool,
-              cfg: LutSeedConfig, codes=None, _stop_after: str = ""):
+              cfg: LutSeedConfig, codes=None, lane_min=None,
+              _stop_after: str = ""):
     def _stopped(stage, *arrs):
         """Debug-only partial-pipeline exit (perf bisection)."""
         B, L = seqs.shape
@@ -293,6 +294,11 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
                        else _kmer_codes(seqs, lens, k0, cfg.min_seed_len))
         row = lut.ksp[jnp.clip(code, 0, lut.ksp.shape[0] - 1)]  # (B, L, 2)
         f0, sl = row[..., 0], row[..., 1]
+    if lane_min is not None:
+        # round-2 re-seeding emits only SMEMs covering mid (b <= mid < j),
+        # so ends j <= mid never emit and never feed a needed maximality
+        # test — drop their lanes entirely
+        valid = valid & (j > lane_min[:, None])
     kl = jnp.where(sl == 1, 0, f0)     # rank (unused when unique)
     pl = jnp.where(sl == 1, f0, -1)    # position (unique entries only)
     okv = valid & (sl >= v[:, None]) & (sl > 0)
@@ -594,7 +600,7 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
                    else tuple(a[srcrow] for a in lrows))
         b2, k2, s2, p2, ovf2w, _ = _walk_lut(
             didx, lut, seqs[srcrow], lens[srcrow], v_r[srcrow], False, cfg,
-            codes_r)
+            codes_r, lane_min=mid[srcrow])
         m2 = _emit_mask(b2, lens[srcrow], cfg.min_seed_len,
                         cover_mid=mid[srcrow])
         m2 &= dv[:, None] & has[srcrow][:, None]

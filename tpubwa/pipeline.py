@@ -114,6 +114,7 @@ class Aligner:
             assert R <= 63
 
             def packed(didx, lut, seqs, lens):
+                seqs = seqs.astype(jnp.int32)   # uint8 over the wire
                 st = self.worker1_device_inner(didx, seqs, lens, lut)
                 B = seqs.shape[0]
                 cap = self.CAP_FACTOR * B
@@ -199,7 +200,7 @@ class Aligner:
 
     def align_se(self, batch: ReadBatch, id0: int = 0) -> str:
         """Returns SAM body text for the batch (deterministic in id0)."""
-        seqs = jnp.asarray(batch.seqs.astype(np.int32))
+        seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
         lens = jnp.asarray(batch.lens)
         return self._finish_se_buf(
             batch, np.asarray(self.worker1_packed(seqs, lens)), id0)
@@ -215,7 +216,7 @@ class Aligner:
         pending: list[tuple[ReadBatch, object, int]] = []
         n = id0
         for b in batches:
-            seqs = jnp.asarray(b.seqs.astype(np.int32))
+            seqs = jnp.asarray(b.seqs)  # uint8 over the wire
             lens = jnp.asarray(b.lens)
             pending.append((b, self.worker1_packed(seqs, lens), n))
             n += b.n
@@ -258,7 +259,7 @@ class Aligner:
         SAM [ref: FastMap.memPairEndMapping; bwa: mem_sam_pe].
         """
         opt_pe = self.opt.replace(flag=self.opt.flag | MemOptions.F_PE)
-        seqs = jnp.asarray(batch.seqs.astype(np.int32))
+        seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
         lens = jnp.asarray(batch.lens)
         buf = np.asarray(self.worker1_packed(seqs, lens))
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)

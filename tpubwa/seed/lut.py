@@ -200,7 +200,7 @@ class KmerLUT:
 @dataclasses.dataclass(frozen=True)
 class LutSeedConfig:
     max_smems: int = 32      # per read, after both rounds
-    max_reseed: int = 2      # round-2 candidates per read
+    max_reseed: int = 3      # round-2 candidates per read
     min_seed_len: int = 19
     split_len: int = 28
     split_width: int = 10
@@ -209,8 +209,8 @@ class LutSeedConfig:
     # do not fit a budget overflow their read to the host oracle.
     fm_full: int = 3         # full-width lockstep FM steps before compacting
     fm_dense: int = 8        # FM-loop survivor lanes: B*L // fm_dense
-    offdiag_dense: int = 16  # off-diagonal fallback lanes: B*L // offdiag_dense
-    r2_rows: int = 4         # round-2 candidate reads: B // r2_rows
+    offdiag_dense: int = 8   # off-diagonal fallback lanes: B*L // offdiag_dense
+    r2_rows: int = 2         # round-2 candidate reads: B // r2_rows
 
 
 def _kmer_codes(seqs: jnp.ndarray, lens: jnp.ndarray, k0: int,
@@ -221,18 +221,29 @@ def _kmer_codes(seqs: jnp.ndarray, lens: jnp.ndarray, k0: int,
 
     Ends j < min_len are excluded: they can never emit (length < min_len),
     and the only consumer of their b(j) is end j-1's maximality test,
-    which is exact for any placeholder > j-1-min_len (we store b=j)."""
+    which is exact for any placeholder > j-1-min_len (we store b=j).
+
+    Implemented as ONE MXU matmul against a banded weight matrix:
+    shifted-concat formulations relayout the 128-lane minor dimension k0
+    times (~4 ms each on v5e, ~45 ms total), and channel-1 convs lower
+    pathologically.  Exact in f32 because codes < 4^k0 <= 4^12 < 2^24.
+    Lanes jj < k0-1 (incomplete windows) are masked invalid, so no left
+    padding is needed."""
     B, L = seqs.shape
-    code = jnp.zeros((B, L), jnp.int32)
-    bad = jnp.zeros((B, L), bool)
-    for t in range(k0):
-        if t == 0:
-            sh = seqs
-        else:
-            sh = jnp.concatenate(
-                [jnp.full((B, t), 4, seqs.dtype), seqs[:, :-t]], axis=1)
-        code = code + (jnp.where(sh > 3, 0, sh) << (2 * t))
-        bad = bad | (sh > 3)
+    assert k0 <= 12, "f32 matmul codes require 4^k0 < 2^24"
+    p = np.arange(L)[:, None]
+    q = np.arange(L)[None, :]
+    d = q - p                                    # weight 4^d for d in [0,k0)
+    Wc = np.where((d >= 0) & (d < k0),
+                  4.0 ** np.clip(d, 0, k0 - 1), 0.0).astype(np.float32)
+    Wn = ((d >= 0) & (d < k0)).astype(np.float32)
+    lhs_c = jnp.where(seqs > 3, 0, seqs).astype(jnp.float32)
+    lhs_n = (seqs > 3).astype(jnp.float32)
+    # Precision.HIGHEST: the TPU MXU default truncates f32 inputs to bf16,
+    # which destroys exactness of the integer codes
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    code = jnp.round(mm(lhs_c, jnp.asarray(Wc))).astype(jnp.int32)
+    bad = mm(lhs_n, jnp.asarray(Wn)) > 0.5
     jj = jnp.arange(L, dtype=jnp.int32)[None, :]
     valid = (jj >= max(k0, min_len) - 1) & (jj + 1 <= lens[:, None]) & ~bad
     return code, valid

@@ -26,7 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("index", help="build an FM-index from FASTA")
     pi.add_argument("fasta")
     pi.add_argument("-o", "--output", required=True, help=".npz index path")
-    pi.add_argument("--sa-intv", type=int, default=32)
+    pi.add_argument("--sa-intv", type=int, default=None,
+                    help="SA sample interval (default: builder's)")
 
     pa = sub.add_parser("align", help="align FASTQ reads, write SAM")
     pa.add_argument("index", help=".npz index from `tpubwa index`")
@@ -34,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("-o", "--output", default="-", help="SAM path (- stdout)")
     pa.add_argument("-p", "--paired", action="store_true",
                     help="interleaved paired-end input")
-    pa.add_argument("--batch-size", type=int, default=512)
+    pa.add_argument("--batch-size", type=int, default=4096)
     pa.add_argument("--oracle", action="store_true",
                     help="use the scalar host oracle instead of the device")
     pa.add_argument("--platform", default=None,
@@ -85,7 +86,8 @@ def cmd_index(a) -> int:
     if not seqs:
         print(f"error: no sequences in {a.fasta}", file=sys.stderr)
         return 1
-    idx = build_index(seqs, sa_intv=a.sa_intv)
+    from .index.builder import DEFAULT_SA_INTV
+    idx = build_index(seqs, sa_intv=a.sa_intv or DEFAULT_SA_INTV)
     idx.save(a.output)
     total = sum(s.length for s in idx.anns)
     print(f"[tpubwa index] {len(idx.anns)} sequence(s), {total} bp, "
@@ -126,6 +128,35 @@ def cmd_align(a) -> int:
     try:
         if out is not None:
             out.write(aln.sam_header())
+
+        # fast path: single-end on the device with a plain output file —
+        # stream batches through the pipelined aligner (device computes
+        # batch i+1 while the host finishes batch i)
+        if not a.paired and not a.oracle and manifest is None:
+            from .io.fastx import ReadBatch
+
+            def batch_iter():
+                pend = []
+                for path in a.fastq:
+                    for rec in iter_fastq(path):
+                        pend.append(rec)
+                        if len(pend) >= a.batch_size:
+                            yield batch_reads(pend)
+                            pend = []
+                if pend:
+                    yield batch_reads(pend)
+
+            for sam in aln.align_se_stream(batch_iter()):
+                out.write(sam)
+                n_done += sam.count("\n")
+                batch_no += 1
+            dt = time.time() - t0
+            print(f"[tpubwa align] total {n_done} records in {dt:.1f}s "
+                  f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+            if out is not sys.stdout:
+                out.close()
+            return 0
+
         pending = []
 
         def run_batch(batch, id0):

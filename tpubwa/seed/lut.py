@@ -208,7 +208,7 @@ class LutSeedConfig:
     # expensive; live work is compacted before the loops). Lanes/reads that
     # do not fit a budget overflow their read to the host oracle.
     fm_full: int = 3         # full-width lockstep FM steps before compacting
-    fm_dense: int = 8        # FM-loop survivor lanes: B*L // fm_dense
+    fm_dense: int = 32       # FM-loop survivor lanes: B*L // fm_dense
     offdiag_dense: int = 8   # off-diagonal fallback lanes: B*L // offdiag_dense
     r2_rows: int = 2         # round-2 candidate reads: B // r2_rows
 
@@ -525,19 +525,29 @@ def _shift_rows(rows: jnp.ndarray, sh: jnp.ndarray, W: int) -> jnp.ndarray:
 
 
 def _compact_sorted(mask, key, arrays, max_out):
-    """Top-max_out masked lanes in ascending `key` order via one argsort.
+    """Compact masked lanes (already in emission = end-j order) into the
+    first slots. One (B, M, L) one-hot contraction on the MXU — an argsort
+    here costs ~5-10 ms per round on v5e; `key` is unused (kept for call
+    -site clarity: lanes arrive sorted by it).
 
     Returns compacted arrays (B, max_out), count, overflow.
     """
+    del key
     B, L = mask.shape
-    kk = jnp.where(mask, key, BIG)
-    order = jnp.argsort(kk, axis=1)[:, :max_out].astype(jnp.int32)
-    outs = [jnp.take_along_axis(a, order, axis=1) for a in arrays]
+    pos = jnp.cumsum(mask, axis=1) - 1
     count = mask.sum(axis=1).astype(jnp.int32)
     overflow = count > max_out
+    sel = mask & (pos < max_out)
+    oh = ((pos[:, None, :] == jnp.arange(max_out, dtype=jnp.int32)
+           [None, :, None]) & sel[:, None, :]).astype(jnp.int32)  # (B,M,L)
+    stacked = jnp.stack(arrays, axis=-1)                          # (B,L,F)
+    taken = jax.lax.dot_general(
+        oh, stacked, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                         # (B,M,F)
     n = jnp.minimum(count, max_out)
     slot_ok = jnp.arange(max_out, dtype=jnp.int32)[None, :] < n[:, None]
-    outs = [jnp.where(slot_ok, o, 0) for o in outs]
+    outs = [jnp.where(slot_ok, taken[..., f], 0)
+            for f in range(len(arrays))]
     return outs, n, overflow
 
 
@@ -596,7 +606,8 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         # nearly every read has ONE candidate (any long unique SMEM
         # qualifies), so r=0 runs full-width; later candidates are rare
         # and run on a row-compacted sub-batch
-        Dr = B if r == 0 else max(B // cfg.r2_rows, 8)
+        # candidate #1: nearly every read; #2: ~1/4 of reads; #3+: rare
+        Dr = B if r == 0 else max(B // (cfg.r2_rows * (4 ** (r - 1))), 8)
         if r == 0:
             srcrow = jnp.arange(B, dtype=jnp.int32)
             rpos = srcrow

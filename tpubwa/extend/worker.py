@@ -43,6 +43,7 @@ class ExtendConfig:
     pen_clip3: int = 5
     max_band_try: int = 2
     use_pallas: bool = False  # TPU: run the VMEM-resident Pallas SW kernel
+    tail_rows: int = 8        # reads with >1 extension round: B // tail_rows
 
 
 def cal_max_gap(cfg: ExtendConfig, qlen):
@@ -136,6 +137,11 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     pair_order = jnp.argsort(key, axis=1).astype(jnp.int32)   # (B, S)
     n_pairs = (key < POS31).sum(axis=1).astype(jnp.int32)
 
+    ctx = dict(pair_order=pair_order, n_pairs=n_pairs, qbeg_s=qbeg_s,
+               rbeg_s=rbeg_s, len_s=len_s, cid_s=cid_s,
+               rmax0=rmax0, rmax1=rmax1, crid=chains["rid"],
+               seqs=seqs, lens=lens)
+
     st = dict(
         ptr=jnp.zeros((B,), jnp.int32),
         skipped=jnp.zeros((B, S), bool),
@@ -151,6 +157,64 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         cid=jnp.full((B, R), -1, jnp.int32),
         rid=jnp.full((B, R), -1, jnp.int32),
     )
+
+    sel_cond, sel_body, run_extension, act_fn = _engine(didx, cfg, ctx)
+
+    # ---- round 1, full width: virtually every read extends once ----
+    st = jax.lax.while_loop(sel_cond, sel_body, st)
+    st = jax.lax.cond(jnp.any(act_fn(st)), run_extension, lambda s: s, st)
+    # advance past seeds the round-1 region now contains (VPU-only), so
+    # only reads that truly need another EXTENSION enter the tail
+    st = jax.lax.while_loop(sel_cond, sel_body, st)
+
+    # ---- tail rounds: reads with >1 surviving extension task are rare
+    # (typically <1%: a second chain, or a seed the containment test kept),
+    # so the remaining rounds run on a row-compacted sub-batch instead of
+    # re-running full-width kernels until the slowest read finishes ----
+    from ..seed.lut import _compact_rows
+    Dr = min(max(B // cfg.tail_rows, 32), B)
+    active = st["ptr"] < n_pairs
+    srcrow, rpos, room, dv = _compact_rows(active, Dr)
+    st["overflow"] = st["overflow"] | (active & ~room)
+    sub_ctx = {k: v[srcrow] for k, v in ctx.items()}
+    sub_ctx["n_pairs"] = jnp.where(dv, sub_ctx["n_pairs"], 0)
+    sub_st = {k: v[srcrow] for k, v in st.items()}
+    s2_cond, s2_body, run2, act2 = _engine(didx, cfg, sub_ctx)
+
+    def tail_cond(s):
+        return jnp.any(s["ptr"] < sub_ctx["n_pairs"])
+
+    def tail_body(s):
+        s = jax.lax.while_loop(s2_cond, s2_body, s)
+        return jax.lax.cond(jnp.any(act2(s)), run2, lambda x: x, s)
+
+    sub_st = jax.lax.while_loop(tail_cond, tail_body, sub_st)
+    rp = jnp.clip(rpos, 0, Dr - 1)
+    sel = active & room
+    for k2 in st:
+        v = sub_st[k2][rp]
+        st[k2] = jnp.where(sel if st[k2].ndim == 1 else sel[:, None],
+                           v, st[k2])
+    return st
+
+
+def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
+    """Build the per-round machinery over a row set (full batch or a
+    compacted sub-batch): containment-skip advance, one-seed-per-read
+    banded extension, and the active predicate. All lookups are one-hot
+    VPU selects; ctx rows define the batch width."""
+    pair_order = ctx["pair_order"]
+    n_pairs = ctx["n_pairs"]
+    qbeg_s, rbeg_s, len_s = ctx["qbeg_s"], ctx["rbeg_s"], ctx["len_s"]
+    cid_s = ctx["cid_s"]
+    stored = cid_s >= 0
+    rmax0, rmax1 = ctx["rmax0"], ctx["rmax1"]
+    seqs, lens = ctx["seqs"], ctx["lens"]
+    B, L = seqs.shape
+    S = qbeg_s.shape[1]
+    C = rmax0.shape[1]
+    R = cfg.max_regs
+    WREF = L + 2 * cal_max_gap(cfg, L)
 
     s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
 
@@ -363,21 +427,15 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         put("seedcov", seedcov)
         put("seedlen0", sln)
         put("cid", scid_raw)
-        put("rid", chain_pick(chains["rid"], scid))
+        put("rid", chain_pick(ctx["crid"], scid))
         st["n"] = st["n"] + (push & room).astype(jnp.int32)
         st["ptr"] = st["ptr"] + active.astype(jnp.int32)
         return st
 
-    def outer_cond(st):
-        return jnp.any(st["ptr"] < n_pairs)
+    def act_fn(st):
+        return st["ptr"] < n_pairs
 
-    def outer_body(st):
-        st = jax.lax.while_loop(sel_cond, sel_body, st)
-        _, active = cur_slot(st)
-        return jax.lax.cond(jnp.any(active), run_extension, lambda s: s, st)
-
-    st = jax.lax.while_loop(outer_cond, outer_body, st)
-    return st
+    return sel_cond, sel_body, run_extension, act_fn
 
 
 def _scmat(cfg: ExtendConfig):

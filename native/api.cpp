@@ -166,7 +166,7 @@ int tb_regs(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
 // seedcov,seedlen0,rid) + l_rep — used to substitute host-computed regions
 // for reads that overflowed the device caps in the PE path
 int tb_regs_pre(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
-                const int32_t **rows, int32_t *l_rep_out) {
+                const int64_t **rows, int32_t *l_rep_out) {
   Handle *h = (Handle *)hp;
   auto chains = mem_chain(*opt, h->idx, len, seq);
   double frac = chains.empty() ? 0. : chains[0].frac_rep;
@@ -174,32 +174,32 @@ int tb_regs_pre(void *hp, const MemOpt *opt, const uint8_t *seq, int len,
   mem_chain_flt(*opt, &chains);
   std::vector<AlnReg> regs;
   for (auto &c : chains) mem_chain2aln(*opt, h->idx, len, seq, c, &regs);
-  h->i32.clear();
+  h->i64.clear();
   for (auto &r : regs) {
-    h->i32.push_back((int32_t)r.rb);
-    h->i32.push_back((int32_t)r.re);
-    h->i32.push_back(r.qb);
-    h->i32.push_back(r.qe);
-    h->i32.push_back(r.score);
-    h->i32.push_back(r.truesc);
-    h->i32.push_back(r.w);
-    h->i32.push_back(r.seedcov);
-    h->i32.push_back(r.seedlen0);
-    h->i32.push_back(r.rid);
+    h->i64.push_back(r.rb);
+    h->i64.push_back(r.re);
+    h->i64.push_back(r.qb);
+    h->i64.push_back(r.qe);
+    h->i64.push_back(r.score);
+    h->i64.push_back(r.truesc);
+    h->i64.push_back(r.w);
+    h->i64.push_back(r.seedcov);
+    h->i64.push_back(r.seedlen0);
+    h->i64.push_back(r.rid);
   }
-  *rows = h->i32.data();
+  *rows = h->i64.data();
   return (int)regs.size();
 }
 
 // Finishing path for device-computed regions: dedup + primary marking +
 // SAM emission on AlnRegs produced by the TPU worker1. This is the
 // production host half of the pipeline (ARCHITECTURE.md device/host split).
-// regs: flat (sum(n_regs), 10) int32 rows per read, fields
+// regs: flat (sum(n_regs), 10) int64 rows per read, fields
 // (rb, re, qb, qe, score, truesc, w, seedcov, seedlen0, rid).
 const char *tb_finish_se_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
                              const int32_t *lens, const char **names,
                              const char **quals, int n_reads, int stride,
-                             const int32_t *regs_flat, const int32_t *n_regs,
+                             const int64_t *regs_flat, const int32_t *n_regs,
                              const int32_t *l_rep, int64_t id0,
                              const char *rg_id, int64_t *out_len) {
   Handle *h = (Handle *)hp;
@@ -210,18 +210,18 @@ const char *tb_finish_se_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
     int len = lens[i];
     std::vector<AlnReg> regs(n_regs[i]);
     for (int r = 0; r < n_regs[i]; ++r) {
-      const int32_t *row = regs_flat + (off + r) * 10;
+      const int64_t *row = regs_flat + (off + r) * 10;
       AlnReg &a = regs[r];
       a.rb = row[0];
       a.re = row[1];
-      a.qb = row[2];
-      a.qe = row[3];
-      a.score = row[4];
-      a.truesc = row[5];
-      a.w = row[6];
-      a.seedcov = row[7];
-      a.seedlen0 = row[8];
-      a.rid = row[9];
+      a.qb = (int)row[2];
+      a.qe = (int)row[3];
+      a.score = (int)row[4];
+      a.truesc = (int)row[5];
+      a.w = (int)row[6];
+      a.seedcov = (int)row[7];
+      a.seedlen0 = (int)row[8];
+      a.rid = (int)row[9];
       a.frac_rep = (double)l_rep[i] / len;
     }
     off += n_regs[i];
@@ -313,7 +313,7 @@ const char *tb_align_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
 const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
                              const int32_t *lens, const char **names,
                              const char **quals, int n_reads, int stride,
-                             const int32_t *regs_flat, const int32_t *n_regs,
+                             const int64_t *regs_flat, const int32_t *n_regs,
                              const int32_t *l_rep, const int64_t *hist4,
                              int max_ins_hist, int64_t id0, const char *rg_id,
                              int64_t *out_len) {
@@ -324,11 +324,11 @@ const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
   for (int i = 0; i < n_reads; ++i) {
     regs[i].resize(n_regs[i]);
     for (int r = 0; r < n_regs[i]; ++r) {
-      const int32_t *row = regs_flat + (off + r) * 10;
+      const int64_t *row = regs_flat + (off + r) * 10;
       AlnReg &a = regs[i][r];
-      a.rb = row[0]; a.re = row[1]; a.qb = row[2]; a.qe = row[3];
-      a.score = row[4]; a.truesc = row[5]; a.w = row[6]; a.seedcov = row[7];
-      a.seedlen0 = row[8]; a.rid = row[9];
+      a.rb = row[0]; a.re = row[1]; a.qb = (int)row[2]; a.qe = (int)row[3];
+      a.score = (int)row[4]; a.truesc = (int)row[5]; a.w = (int)row[6];
+      a.seedcov = (int)row[7]; a.seedlen0 = (int)row[8]; a.rid = (int)row[9];
       a.frac_rep = (double)l_rep[i] / lens[i];
     }
     off += n_regs[i];

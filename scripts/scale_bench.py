@@ -1,12 +1,19 @@
-"""Config-3 scale check: chr20-sized genome (64 Mbp), single chip.
+"""Config-3/4 scale check: large-genome alignment through the PRODUCTION
+device path, with byte-exact oracle SAM parity.
 
-Builds (and caches) a synthetic 64 Mbp index via the native SA-IS builder,
-aligns simulated reads through the full device pipeline, verifies positions
-against the simulation truth, and prints a JSON throughput line.
+Builds (and caches) a repeat-rich synthetic genome + FM-index at the
+requested scale — up to GRCh38 size (3100 Mbp forward = 6.2e9 text, int64
+device coordinates) — via the native memory-lean SA-IS, aligns simulated
+reads through the full device pipeline, byte-compares the SAM against the
+scalar C++ oracle, and prints ONE JSON line with throughput, parity, and
+build-cost numbers (VERDICT r2 items 1 and 9).
 
 Usage: python scripts/scale_bench.py [n_reads] [genome_mbp]
+  e.g.  python scripts/scale_bench.py 8192 64        # chr20-scale
+        python scripts/scale_bench.py 8192 3100      # GRCh38-scale
 """
 import json
+import resource
 import sys
 import time
 from pathlib import Path
@@ -15,61 +22,110 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
+def rss_gb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+
 def main():
     import numpy as np
-    from tpubwa.index.builder import FMIndex, build_index, DEFAULT_SA_INTV
+    from tpubwa.index.builder import FMIndex, build_index
     from tpubwa.io import fastx
     from tpubwa.opts import MemOptions
     from tpubwa.pipeline import Aligner
-    from tpubwa.utils import dna
+    from tpubwa.utils import dna, genome
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     mbp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     glen = mbp * 1_000_000
-    cache = REPO / "build" / f"scale_index_{glen}_sa{DEFAULT_SA_INTV}.npz"
+    build_dir = REPO / "build"
+    build_dir.mkdir(exist_ok=True)
+    cache = build_dir / f"scale_index_hard_{glen}.npz"
+    gcache = build_dir / f"scale_genome_hard_{glen}.npy"
+    costs = {}
+
+    t0 = time.time()
+    if gcache.exists():
+        g = np.load(gcache, mmap_mode="r")
+    else:
+        profile = genome.HUMAN if mbp >= 32 else genome.BACTERIAL
+        g = genome.synthetic_genome(glen, seed=7, profile=profile)
+        np.save(gcache, g)
+    costs["genome_s"] = round(time.time() - t0, 1)
+
     t0 = time.time()
     if cache.exists():
         idx = FMIndex.load(cache)
-        print(f"# index loaded {time.time()-t0:.0f}s", file=sys.stderr)
+        costs["index_load_s"] = round(time.time() - t0, 1)
     else:
-        rng = np.random.default_rng(7)
-        genome = dna.decode(rng.integers(0, 4, glen).astype(np.uint8))
-        idx = build_index([("chr20_synth", genome)])
+        idx = build_index([("scale_synth", np.asarray(g))])
+        costs["index_build_s"] = round(time.time() - t0, 1)
+        costs["index_build_rss_gb"] = round(rss_gb(), 1)
+        t0 = time.time()
         idx.save(cache)
-        print(f"# index built {time.time()-t0:.0f}s ({mbp} Mbp)",
-              file=sys.stderr)
-    aln = Aligner(idx, MemOptions())
-    fwd = idx.get_seq(0, idx.l_pac).astype(np.uint8)
-    recs = fastx.simulate_reads(fwd, n_reads, read_len=100, error_rate=0.01,
-                                seed=3)
+        costs["index_save_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    aln = Aligner(idx, MemOptions(),
+                  lut_cache=build_dir / f"scale_lut_hard_{glen}.npz")
+    costs["aligner_init_s"] = round(time.time() - t0, 1)  # LUT + device put
+
+    # simulate from the raw genome codes (N runs included) — no 2*l_pac
+    # get_seq materialization at Gbp scale
+    recs = fastx.simulate_reads(np.asarray(g), n_reads, read_len=100,
+                                error_rate=0.01, indel_rate=0.001, seed=3)
     B = 4096
     batches = [fastx.batch_reads(recs[i:i + B], max_len=100)
                for i in range(0, n_reads, B)]
+    t0 = time.time()
     _ = aln.align_se(batches[0], id0=0)  # compile
+    costs["compile_s"] = round(time.time() - t0, 1)
+
     t1 = time.time()
+    aln.stats = {"reads": 0, "fallback_reads": 0}
+    sams = []
     n = 0
-    n_correct = 0
-    n_total = 0
     for b in batches:
-        sam = aln.align_se(b, id0=n)
+        sams.append(aln.align_se(b, id0=n))
         n += b.n
-        for line in sam.strip().split("\n"):
-            f = line.split("\t")
-            if int(f[1]) & (0x100 | 0x800):
-                continue
-            n_total += 1
-            true_pos = int(f[0].split("_")[2])
-            lead = int(f[5].split("S")[0]) if "S" in f[5].split("M")[0] else 0
-            if int(f[3]) == true_pos + 1 + lead:
-                n_correct += 1
     dt = time.time() - t1
+
+    # ---- oracle SAM parity (byte-exact) on a prefix of the read set ----
+    n_par = min(n_reads, 2048)
+    t0 = time.time()
+    mism = 0
+    checked = 0
+    got_lines = "".join(sams).splitlines(True)
+    # regroup oracle comparison per batch to reuse id0 numbering
+    off = 0
+    want_parts = []
+    for b in batches:
+        if off >= n_par:
+            break
+        sub = fastx.batch_reads(recs[off:off + min(b.n, n_par - off)],
+                                max_len=100)
+        want_parts.append(aln.oracle.align_se(sub, aln.opt, id0=off))
+        off += sub.n
+    want_lines = "".join(want_parts).splitlines(True)
+    for wl in want_lines:
+        if checked >= len(got_lines) or got_lines[checked] != wl:
+            mism += 1
+        checked += 1
+    costs["parity_s"] = round(time.time() - t0, 1)
+    fb = 100.0 * aln.stats["fallback_reads"] / max(aln.stats["reads"], 1)
+
     print(json.dumps({
-        "metric": f"se_100bp_reads_per_s_chr20scale_{mbp}mbp",
+        "metric": f"se_100bpreads_per_s_{mbp}mbp_repeatrich",
         "value": round(n / dt, 1),
         "unit": "reads/s",
-        "accuracy": round(n_correct / max(n_total, 1), 4),
+        "genome_mbp": mbp,
+        "pos_dtype": "int64" if 2 * idx.l_pac >= 2**31 else "int32",
+        "parity_lines_checked": checked,
+        "parity_mismatches": mism,
+        "fallback_pct": round(fb, 2),
+        "peak_rss_gb": round(rss_gb(), 1),
+        "costs": costs,
     }))
-    print(f"# {n} reads in {dt:.1f}s; {n_correct}/{n_total} at truth pos",
+    print(f"# {n} reads in {dt:.1f}s; parity {checked - mism}/{checked}",
           file=sys.stderr)
 
 

@@ -84,12 +84,14 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     B, M = qb.shape
     # pos >= 0 marks SMEMs whose (unique) text position is pre-resolved by
     # the seeding stage (seed.lut s==1 shortcut): no SA walk needed
-    pos = smems.get("pos", jnp.full((B, M), -1, jnp.int32))
+    pos = smems.get("pos", jnp.full((B, M), -1, k.dtype))
     slot = jnp.arange(M, dtype=jnp.int32)[None, :]
     vs = slot < n[:, None]
     slen = qe - qb
-    step = jnp.where(s > cfg.max_occ, s // jnp.int32(cfg.max_occ), 1)
-    cnt = jnp.where(vs, jnp.minimum(s, cfg.max_occ), 0)
+    # step/cnt are bounded by text/max_occ resp. max_occ — int32 everywhere
+    step = jnp.where(s > cfg.max_occ,
+                     s // cfg.max_occ, 1).astype(jnp.int32)
+    cnt = jnp.where(vs, jnp.minimum(s, cfg.max_occ), 0).astype(jnp.int32)
 
     # frac_rep numerator [bwa: bwamem.c :: mem_chain]: union of repetitive
     # SMEM spans; smems are sorted by (qb, qe) so a running max suffices
@@ -97,7 +99,7 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     qe_rep = jnp.where(big, qe, NEG31)
     prev_max = jnp.maximum(_excl_cummax(qe_rep), 0)
     contrib = jnp.where(big, jnp.clip(qe - jnp.maximum(qb, prev_max), 0), 0)
-    l_rep = contrib.sum(axis=1).astype(jnp.int32)
+    l_rep = contrib.sum(axis=1, dtype=jnp.int32)
 
     # flatten (smem, occurrence) pairs into seed slots, preserving order.
     # All index plumbing below is gather-free where offsets would be
@@ -106,18 +108,34 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
     # the first total[b] of each row), and the SA write-back is a variable
     # row slice (ops.window.slice_rows).
     offs = jnp.cumsum(cnt, axis=1) - cnt          # exclusive prefix
-    total = cnt.sum(axis=1)
+    total = cnt.sum(axis=1, dtype=jnp.int32)
     S = cfg.max_seeds
     sid = jnp.arange(S, dtype=jnp.int32)[None, :]                  # (1, S)
     own_oh = (offs[:, None, :] <= sid[:, :, None]) & \
         (sid[:, :, None] < (offs + cnt)[:, None, :])               # (B,S,M)
-    fields = jnp.stack([offs, cnt, k, step, qb, slen, pos], axis=-1)  # (B,M,7)
+    # 64-bit fields (k, pos on large genomes) ride the int32 MXU
+    # contraction as exact (hi, lo) halves — see seed.lut._split64
+    from ..seed.lut import _join64, _split64
+    parts, widths = [], []
+    for a in (offs, cnt, k, step, qb, slen, pos):
+        if a.dtype == jnp.int64:
+            hi, lo = _split64(a)
+            parts += [hi, lo]
+            widths.append(2)
+        else:
+            parts.append(a)
+            widths.append(1)
+    fields = jnp.stack(parts, axis=-1)                             # (B,M,F')
     taken = jax.lax.dot_general(
         own_oh.astype(jnp.int32), fields,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                          # (B,S,7)
-    t_offs, t_cnt, t_k, t_step, qbeg, ln, t_pos = (taken[..., c]
-                                                   for c in range(7))
+        preferred_element_type=jnp.int32)                          # (B,S,F')
+    cols, f = [], 0
+    for w in widths:
+        cols.append(_join64(taken[..., f], taken[..., f + 1]) if w == 2
+                    else taken[..., f])
+        f += w
+    t_offs, t_cnt, t_k, t_step, qbeg, ln, t_pos = cols
     t = sid - t_offs
     seed_valid = sid < total[:, None]
     rank = t_k + t * t_step
@@ -166,9 +184,10 @@ def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
     B, S = rbeg.shape
     C = cfg.max_chains
     zi = lambda: jnp.zeros((B, C), jnp.int32)
+    zp = lambda: jnp.zeros((B, C), rbeg.dtype)   # text-position fields
     st = dict(
-        pos=zi(), rid=zi() - 1, first_qb=zi(), first_rb=zi(), last_qb=zi(),
-        last_rb=zi(), last_len=zi(), end_q=zi(), w_q=zi(), end_r=zi(),
+        pos=zp(), rid=zi() - 1, first_qb=zi(), first_rb=zp(), last_qb=zi(),
+        last_rb=zp(), last_len=zi(), end_q=zi(), w_q=zi(), end_r=zp(),
         w_r=zi(), n=jnp.zeros((B,), jnp.int32),
         chain_id=jnp.full((B, S), -1, jnp.int32),
         overflow=seeds["overflow"],
@@ -221,7 +240,8 @@ def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
         wq_add = jnp.where(qb2 >= g(st["end_q"]), ll,
                            jnp.clip(qb2 + ll - g(st["end_q"]), 0))
         wr_add = jnp.where(rb >= g(st["end_r"]), ll,
-                           jnp.clip(rb + ll - g(st["end_r"]), 0))
+                           jnp.clip(rb + ll - g(st["end_r"]), 0)
+                           ).astype(jnp.int32)  # bounded by seed length
         set_field("w_q", g(st["w_q"]) + wq_add, ll)
         set_field("w_r", g(st["w_r"]) + wr_add, ll)
         set_field("end_q", jnp.maximum(g(st["end_q"]), qb2 + ll), qb2 + ll)
@@ -267,7 +287,7 @@ def chain_filter(chains: dict, cfg: ChainConfig):
     end = chains["last_qb"] + chains["last_len"]
     # stable sort: weight desc, then pos, then qbeg (bwa ties are unstable;
     # this total order is mirrored by the oracle)
-    order = jnp.lexsort((beg, chains["pos"], -w), axis=1)
+    order = jnp.lexsort((beg, chains["pos"], -w), axis=1).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     w_s, beg_s, end_s = take(w), take(beg), take(end)
     valid_s = w_s >= jnp.maximum(cfg.min_chain_weight, 0)

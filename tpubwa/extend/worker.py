@@ -98,14 +98,15 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     cid_oh = jnp.clip(cid_s, 0)[:, :, None] == cio[None, None, :]  # (B,S,C)
     seed_rank = jnp.where(
         stored,
-        jnp.sum(jnp.where(cid_oh, rank_of[:, None, :], 0), axis=2), C)
+        jnp.sum(jnp.where(cid_oh, rank_of[:, None, :], 0), axis=2,
+                dtype=jnp.int32), C)
 
     # ---- rmax windows per chain [the max-possible-span computation] ----
     gap_l = cal_max_gap(cfg, qbeg_s)
     gap_r = cal_max_gap(cfg, lens[:, None] - qbeg_s - len_s)
     bnd = rbeg_s - (qbeg_s + gap_l)
     end = rbeg_s + len_s + (lens[:, None] - qbeg_s - len_s) + gap_r
-    big = jnp.int32(2**30)
+    big = jnp.asarray(jnp.iinfo(bnd.dtype).max // 4, bnd.dtype)
     in_chain = cid_oh & stored[:, :, None]                       # (B, S, C)
     rmax0 = jnp.min(jnp.where(in_chain, bnd[:, :, None], big), axis=1)
     rmax1 = jnp.max(jnp.where(in_chain, end[:, :, None], -big), axis=1)
@@ -147,7 +148,8 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         skipped=jnp.zeros((B, S), bool),
         n=jnp.zeros((B,), jnp.int32),
         overflow=chains["overflow"],
-        rb=jnp.zeros((B, R), jnp.int32), re=jnp.zeros((B, R), jnp.int32),
+        rb=jnp.zeros((B, R), rbeg_s.dtype),
+        re=jnp.zeros((B, R), rbeg_s.dtype),
         qb=jnp.zeros((B, R), jnp.int32), qe=jnp.zeros((B, R), jnp.int32),
         score=jnp.zeros((B, R), jnp.int32),
         truesc=jnp.zeros((B, R), jnp.int32),
@@ -223,7 +225,7 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
         (~40-150ns/offset) makes a (B,) gather pricier than a (B, S) VPU
         mask-sum."""
         oh = s_iota == col[:, None]
-        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1, dtype=arr.dtype)
 
     def cur_slot(st):
         p = jnp.clip(st["ptr"], 0, S - 1)
@@ -290,7 +292,7 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
 
     def chain_pick(arr, cid):
         oh = c_iota == cid[:, None]
-        return jnp.sum(jnp.where(oh, arr, 0), axis=1)
+        return jnp.sum(jnp.where(oh, arr, 0), axis=1, dtype=arr.dtype)
 
     def run_extension(st):
         slot, active = cur_slot(st)
@@ -304,7 +306,8 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
         # ---- left extension: reversed query prefix / reversed ref window
         do_l = active & (sqb > 0)
         lq_len = jnp.where(do_l, sqb, 0)
-        lt_len = jnp.where(do_l, srb - r0, 0)
+        # window lengths are < WREF — int32 regardless of position width
+        lt_len = jnp.where(do_l, srb - r0, 0).astype(jnp.int32)
         qi = jnp.arange(L, dtype=jnp.int32)[None, :]
         lq = jnp.where(qi < lq_len[:, None],
                        query_window_desc(seqs, sqb, L), 4)
@@ -378,7 +381,7 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
         qe0 = sqb + sln
         do_r = active & (qe0 != lens)
         rq_len = jnp.where(do_r, lens - qe0, 0)
-        rt_len = jnp.where(do_r, r1 - (srb + sln), 0)
+        rt_len = jnp.where(do_r, r1 - (srb + sln), 0).astype(jnp.int32)
         rq = jnp.where(qi < rq_len[:, None],
                        query_window_asc(seqs, qe0, L), 4)
         rt = jnp.where(ti < rt_len[:, None],
@@ -404,7 +407,7 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
             (qbeg_s + len_s <= qe_new[:, None]) & \
             (rbeg_s >= rb_new[:, None]) & \
             (rbeg_s + len_s <= re_new[:, None])
-        seedcov = jnp.where(incov, len_s, 0).sum(axis=1).astype(jnp.int32)
+        seedcov = jnp.where(incov, len_s, 0).sum(axis=1, dtype=jnp.int32)
 
         # ---- push reg
         room = st["n"] < R

@@ -31,6 +31,8 @@ from ..utils import dna
 OCC_INTERVAL = 64       # bases per occ checkpoint (4 uint32 words)
 BASES_PER_WORD = 16
 DEFAULT_SA_INTV = 4   # denser than bwa (32): HBM is plentiful, invPsi walks are latency-bound
+BIG_SA_INTV = 32      # human-scale: samples must fit HBM (6.2e9/32*8B = 1.5GB)
+_CHUNK = 1 << 26      # elements per host-side construction chunk
 
 
 def suffix_array(text: np.ndarray) -> np.ndarray:
@@ -43,9 +45,9 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     try:
         from ..oracle import get_lib
         lib = get_lib()
-        sa = np.empty(n, dtype=np.int64)
+        sa = np.empty(n + 1, dtype=np.int64)  # +1 scratch slot (sentinel)
         lib.tb_sais(np.ascontiguousarray(text, dtype=np.uint8), n, sa)
-        return sa
+        return sa[:n]
     except Exception:
         return suffix_array_doubling(text)
 
@@ -132,7 +134,11 @@ class FMIndex:
 
     # ---- persistence ----
     def save(self, path: str | Path) -> None:
-        np.savez_compressed(
+        total = (self.bwt_words.nbytes + self.occ_cp.nbytes
+                 + self.sa_samples.nbytes + self.pac.nbytes)
+        # compressing multi-GB indices costs minutes for little gain
+        savez = np.savez_compressed if total < (1 << 30) else np.savez
+        savez(
             path,
             l_pac=self.l_pac,
             primary=self.primary,
@@ -171,17 +177,24 @@ class FMIndex:
 
 def build_index(
     sequences: list[tuple[str, str]],
-    sa_intv: int = DEFAULT_SA_INTV,
+    sa_intv: int | None = None,
     amb_seed: int = 11,
 ) -> FMIndex:
-    """Build the full FM-index from [(name, sequence)] FASTA records."""
+    """Build the full FM-index from [(name, sequence)] FASTA records.
+
+    Every post-SA step is CHUNKED (bounded temporaries) so human-scale
+    genomes build within host RAM: at 3.1 Gbp forward (6.2e9 text) the
+    peak is the SA-IS stage itself (~8 bytes/char in native/sais.cpp),
+    not the numpy plumbing around it.
+    """
     anns: list[Annotation] = []
     codes_parts: list[np.ndarray] = []
     amb_list: list[tuple[int, int]] = []
     offset = 0
     rng = np.random.default_rng(amb_seed)
     for name, seq in sequences:
-        c = dna.encode(seq)
+        c = dna.encode(seq) if isinstance(seq, (str, bytes)) \
+            else np.asarray(seq, dtype=np.uint8)
         ambn = c == 4
         if ambn.any():
             # record N runs, then substitute deterministic random bases
@@ -197,55 +210,76 @@ def build_index(
         offset += len(c)
 
     fwd = np.concatenate(codes_parts) if codes_parts else np.empty(0, np.uint8)
+    del codes_parts
     l_pac = len(fwd)
     text = np.concatenate([fwd, dna.revcomp(fwd)])
     n = len(text)  # 2 * l_pac
+    if sa_intv is None:
+        sa_intv = DEFAULT_SA_INTV if n < 2**31 else BIG_SA_INTV
 
     sa = suffix_array(text)
 
     # primary: conceptual rank (in the 2L+1-row matrix) of suffix starting at 0
-    primary = int(np.flatnonzero(sa == 0)[0]) + 1
+    primary = -1
+    for i in range(0, n, _CHUNK):
+        hits = np.flatnonzero(sa[i:i + _CHUNK] == 0)
+        if hits.size:
+            primary = i + int(hits[0]) + 1
+            break
 
     # stored BWT (sentinel row dropped): row0 = text[-1]; rows for sa[j] != 0
     bwt = np.empty(n, dtype=np.uint8)
     bwt[0] = text[-1]
-    nz = sa != 0
-    bwt[1:] = text[sa[nz] - 1]
-
-    # L2: cumulative symbol counts (rank base; +1 for $ applied at query time)
-    counts = np.bincount(text, minlength=4)[:4]
-    L2 = np.zeros(5, dtype=np.int64)
-    L2[1:] = np.cumsum(counts)
-
-    # occ checkpoints + packed words
-    n_cp = (n + OCC_INTERVAL - 1) // OCC_INTERVAL + 1
-    occ_cp = np.zeros((n_cp, 4), dtype=np.uint32)
-    onehot = np.zeros((n_cp - 1, OCC_INTERVAL, 4), dtype=np.uint32)
-    padded = np.zeros((n_cp - 1) * OCC_INTERVAL, dtype=np.uint8)
-    padded[:n] = bwt
-    # padding bases are A(0); they never get counted because queries clamp to n
-    onehot[
-        np.repeat(np.arange(n_cp - 1), OCC_INTERVAL),
-        np.tile(np.arange(OCC_INTERVAL), n_cp - 1),
-        padded,
-    ] = 1
-    # zero out padding beyond n so checkpoint totals stay exact
-    if (n_cp - 1) * OCC_INTERVAL > n:
-        flat = onehot.reshape(-1, 4)
-        flat[n:] = 0
-    occ_cp[1:] = np.cumsum(onehot.sum(axis=1), axis=0, dtype=np.uint32)
-
-    n_words = ((n_cp - 1) * OCC_INTERVAL) // BASES_PER_WORD
-    shifts = (2 * np.arange(BASES_PER_WORD, dtype=np.uint32))
-    words = (
-        padded.reshape(n_words, BASES_PER_WORD).astype(np.uint32) << shifts[None, :]
-    ).sum(axis=1, dtype=np.uint32)
+    out = 1
+    for i in range(0, n, _CHUNK):
+        ch = sa[i:i + _CHUNK]
+        v = ch[ch != 0]
+        bwt[out:out + len(v)] = text[v - 1]
+        out += len(v)
 
     # sampled SA over conceptual ranks: SA'[0]=$ -> -1, SA'[i+1] = sa[i]
-    sa_conceptual = np.empty(n + 1, dtype=np.int64)
-    sa_conceptual[0] = -1  # sentinel row; bwt_sa arithmetic relies on this
-    sa_conceptual[1:] = sa
-    sa_samples = sa_conceptual[::sa_intv].copy()
+    n_samp = (n + 1 + sa_intv - 1) // sa_intv
+    sa_samples = np.empty(n_samp, dtype=np.int64)
+    sa_samples[0] = -1  # sentinel row; bwt_sa arithmetic relies on this
+    if n_samp > 1:
+        sa_samples[1:] = sa[np.arange(1, n_samp, dtype=np.int64) * sa_intv - 1]
+    del sa, text  # free ~9 bytes/char before the occ/words passes
+
+    # L2: cumulative symbol counts (the BWT is a permutation of the text)
+    counts = np.zeros(4, dtype=np.int64)
+    for i in range(0, n, _CHUNK):
+        counts += np.bincount(bwt[i:i + _CHUNK], minlength=4)[:4]
+    L2 = np.zeros(5, dtype=np.int64)
+    L2[1:] = np.cumsum(counts)
+    if counts.max(initial=0) >= 2**31:
+        raise NotImplementedError(
+            "per-base occurrence counts exceed int32 checkpoints")
+
+    # occ checkpoints + packed words, chunked at block granularity
+    n_blk = (n + OCC_INTERVAL - 1) // OCC_INTERVAL
+    n_cp = n_blk + 1
+    occ_cp = np.zeros((n_cp, 4), dtype=np.uint32)
+    n_words = n_blk * (OCC_INTERVAL // BASES_PER_WORD)
+    words = np.empty(n_words, dtype=np.uint32)
+    shifts = 2 * np.arange(BASES_PER_WORD, dtype=np.uint32)
+    run = np.zeros(4, dtype=np.int64)
+    blk_per_chunk = max(_CHUNK // OCC_INTERVAL, 1)
+    for b0 in range(0, n_blk, blk_per_chunk):
+        b1 = min(b0 + blk_per_chunk, n_blk)
+        seg = np.full((b1 - b0) * OCC_INTERVAL, 4, dtype=np.uint8)
+        hi = min(b1 * OCC_INTERVAL, n)
+        seg[: hi - b0 * OCC_INTERVAL] = bwt[b0 * OCC_INTERVAL: hi]
+        # per-block counts: padding (code 4) matches none of 0..3
+        oneh = (seg.reshape(-1, OCC_INTERVAL)[:, :, None]
+                == np.arange(4, dtype=np.uint8)).sum(axis=1, dtype=np.int64)
+        occ_cp[b0 + 1: b1 + 1] = (run + np.cumsum(oneh, axis=0)
+                                  ).astype(np.uint32)
+        run = run + oneh.sum(axis=0)
+        w0 = b0 * (OCC_INTERVAL // BASES_PER_WORD)
+        seg[seg > 3] = 0  # packed padding bases are A; queries clamp to n
+        words[w0: w0 + (b1 - b0) * 4] = (
+            seg.reshape(-1, BASES_PER_WORD).astype(np.uint32)
+            << shifts[None, :]).sum(axis=1, dtype=np.uint32)
 
     ambs = (
         np.array(amb_list, dtype=np.int64).reshape(-1, 2)

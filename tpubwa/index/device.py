@@ -1,8 +1,13 @@
 """Device-resident FM-index: jnp arrays + vectorized occ primitives.
 
 The HBM analog of the reference's broadcast ``BWAIdxType`` (SURVEY.md §1 L3):
-one replicated copy per chip (sharded mode for >1 Gbp genomes lives in
-tpubwa/dist). All coordinates int32 — valid while 2*l_pac < 2**31.
+one replicated copy per chip. Coordinate width scales with the genome
+(``pos_dtype``): int32 while 2*l_pac < 2**31, int64 beyond — GRCh38's
+bidirectional text is ~6.2e9, so ranks/positions need 33 bits. Per-base
+occurrence COUNTS stay int32 on every genome a chip can hold (count of one
+base <= text/2 < 2**31 — guarded at build time), and every gather INDEX
+(occ row = rank >> 6, pac row = pos >> 7) also fits int32, so the only
+int64 arithmetic is cheap adds/compares on rank values.
 
 Performance-critical layout decision (SURVEY.md §7 "FM-index gather
 bandwidth"): occ checkpoints and the BWT words of their 64-base block are
@@ -28,9 +33,9 @@ class DeviceIndex:
     l_pac: int                 # static
     primary: int               # static
     sa_intv: int               # static
-    L2: jnp.ndarray            # int32[5]
+    L2: jnp.ndarray            # pos_dtype[5]
     occ_fused: jnp.ndarray     # uint32[n_cp, 8]: cp counts + block words
-    sa_samples: jnp.ndarray    # int32[n_samp]
+    sa_samples: jnp.ndarray    # pos_dtype[n_samp]
     pac: jnp.ndarray           # uint8[ceil(l_pac/4)]
     pac_rows: jnp.ndarray      # uint32[n_prow, 8]: pac as 32B rows (128
     #                            bases/row) — contiguous text windows are
@@ -47,12 +52,18 @@ class DeviceIndex:
     def tree_unflatten(cls, aux, children):
         return cls(aux[0], aux[1], aux[2], *children)
 
+    @property
+    def pos_dtype(self):
+        """Width of text positions / FM ranks for this genome."""
+        return jnp.int64 if 2 * self.l_pac >= 2**31 else jnp.int32
+
     @staticmethod
     def from_host(idx: FMIndex) -> "DeviceIndex":
-        if 2 * idx.l_pac >= 2**31:
+        if int(idx.occ_cp.max(initial=0)) >= 2**31:
             raise NotImplementedError(
-                "int32 device index supports genomes < 1 Gbp; "
-                "use the sharded-index mode (tpubwa.dist) for larger")
+                "per-base occurrence counts exceed int32; genomes this "
+                "skewed need the sharded-index mode")
+        pos_dtype = jnp.int64 if 2 * idx.l_pac >= 2**31 else jnp.int32
         n_cp = idx.occ_cp.shape[0]
         words = np.zeros(n_cp * 4, dtype=np.uint32)
         words[: len(idx.bwt_words)] = idx.bwt_words
@@ -66,14 +77,14 @@ class DeviceIndex:
             l_pac=int(idx.l_pac),
             primary=int(idx.primary),
             sa_intv=int(idx.sa_intv),
-            L2=jnp.asarray(idx.L2, dtype=jnp.int32),
+            L2=jnp.asarray(idx.L2, dtype=pos_dtype),
             occ_fused=jnp.asarray(fused),
-            sa_samples=jnp.asarray(idx.sa_samples, dtype=jnp.int32),
+            sa_samples=jnp.asarray(idx.sa_samples, dtype=pos_dtype),
             pac=jnp.asarray(idx.pac, dtype=jnp.uint8),
             pac_rows=jnp.asarray(pac_rows),
             ann_end=jnp.asarray(
                 np.array([a.offset + a.length for a in idx.anns]),
-                dtype=jnp.int32),
+                dtype=pos_dtype),
         )
 
 
@@ -89,10 +100,11 @@ def sel4(arr: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 
 def sel_vec(vec: jnp.ndarray, c: jnp.ndarray, n: int) -> jnp.ndarray:
-    """vec[c] for a tiny static-length vec (e.g. L2[5]) without a gather."""
-    out = jnp.zeros_like(c)
+    """vec[c] for a tiny static-length vec (e.g. L2[5]) without a gather.
+    Result keeps vec's dtype (L2 is pos_dtype)."""
+    out = jnp.zeros(c.shape, vec.dtype)
     for i in range(n):
-        out = jnp.where(c == i, vec[i].astype(c.dtype), out)
+        out = jnp.where(c == i, vec[i], out)
     return out
 
 
@@ -125,7 +137,7 @@ def _count_first(words: jnp.ndarray, c: jnp.ndarray,
         jnp.uint32(0xFFFFFFFF),
         (jnp.uint32(1) << (2 * valid).astype(jnp.uint32)) - jnp.uint32(1),
     )
-    return _popcount32(eq & mask).sum(axis=-1)
+    return _popcount32(eq & mask).sum(axis=-1, dtype=jnp.int32)
 
 
 def _row_cp(row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
@@ -134,10 +146,11 @@ def _row_cp(row: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 
 def occ_prefix(didx: DeviceIndex, n: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
-    """#occurrences of base c in stored-BWT[0, n). ONE fused-row gather."""
+    """#occurrences of base c in stored-BWT[0, n). ONE fused-row gather.
+    Returns int32 (counts < 2**31 by the build-time guard)."""
     r = jnp.maximum(n - 1, 0) >> 6
-    row = didx.occ_fused[r]                    # (..., 8)
-    m = n - r * 64                             # in [0, 64]
+    row = didx.occ_fused[r.astype(jnp.int32)]  # (..., 8); row index < 2**31
+    m = (n - r * 64).astype(jnp.int32)         # in [0, 64]
     return _row_cp(row, c) + _count_first(row[..., 4:8], c, m)
 
 
@@ -147,8 +160,8 @@ def occ4_all(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     n = jnp.where(k < 0, 0, k + 1 - (k >= didx.primary).astype(k.dtype))
     n = jnp.maximum(n, 0)
     r = jnp.maximum(n - 1, 0) >> 6
-    row = didx.occ_fused[r]
-    m = n - r * 64
+    row = didx.occ_fused[r.astype(jnp.int32)]
+    m = (n - r * 64).astype(jnp.int32)
     words = row[..., 4:8]
     cnts = jnp.stack(
         [_count_first(words, jnp.full_like(m, c), m) for c in range(4)],
@@ -163,8 +176,8 @@ def occ1(didx: DeviceIndex, k: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
 
 
 def bwt_base(didx: DeviceIndex, j: jnp.ndarray) -> jnp.ndarray:
-    """Stored-BWT base at position j (int32)."""
-    row = didx.occ_fused[j >> 6]
+    """Stored-BWT base at position j (any int dtype) -> int32 code."""
+    row = didx.occ_fused[(j >> 6).astype(jnp.int32)]
     word = sel4(row[..., 4:8].astype(jnp.int32),
                 ((j >> 4) & 3).astype(jnp.int32)).astype(jnp.uint32)
     return ((word >> (2 * (j & 15)).astype(jnp.uint32)) &
@@ -189,14 +202,15 @@ def inv_psi(didx: DeviceIndex, k: jnp.ndarray) -> jnp.ndarray:
     """LF step on conceptual rank [bwa: bwt.c :: bwt_invPsi] — one gather:
     the BWT base at x and its occ count come from the same fused row."""
     x = k - (k > didx.primary).astype(k.dtype)
-    row = didx.occ_fused[x >> 6]
+    row = didx.occ_fused[(x >> 6).astype(jnp.int32)]
     word = sel4(row[..., 4:8].astype(jnp.int32),
                 ((x >> 4) & 3).astype(jnp.int32)).astype(jnp.uint32)
     c = ((word >> (2 * (x & 15)).astype(jnp.uint32)) &
          jnp.uint32(3)).astype(jnp.int32)
-    cnt = _row_cp(row, c) + _count_first(row[..., 4:8], c, (x & 63) + 1)
+    cnt = _row_cp(row, c) + _count_first(row[..., 4:8], c,
+                                         ((x & 63) + 1).astype(jnp.int32))
     res = sel_vec(didx.L2, c, 4) + cnt
-    return jnp.where(k == didx.primary, 0, res)
+    return jnp.where(k == didx.primary, 0, res).astype(k.dtype)
 
 
 def sa_lookup(didx: DeviceIndex, k: jnp.ndarray,
@@ -221,12 +235,15 @@ def sa_lookup(didx: DeviceIndex, k: jnp.ndarray,
     k0 = jnp.where(valid, k, 0)
     kf, steps, _ = jax.lax.while_loop(
         cond, body, (k0, jnp.zeros_like(k0), valid))
-    return steps + didx.sa_samples[kf >> int(np.log2(didx.sa_intv))]
+    # sample index < (2L+1)/sa_intv < 2**31 for every supported genome
+    samp = didx.sa_samples[
+        (kf >> int(np.log2(didx.sa_intv))).astype(jnp.int32)]
+    return steps + samp
 
 
 def text_base(didx: DeviceIndex, pos: jnp.ndarray) -> jnp.ndarray:
     """Base of the bidirectional text at pos [bwa: bntseq.c :: _get_pac]."""
     p = jnp.where(pos < didx.l_pac, pos, 2 * didx.l_pac - 1 - pos)
-    byte = didx.pac[p >> 2]
+    byte = didx.pac[(p >> 2).astype(jnp.int32)]
     b = ((byte >> ((~p & 3) << 1).astype(jnp.uint8)) & 3).astype(jnp.int32)
     return jnp.where(pos < didx.l_pac, b, 3 - b)

@@ -138,32 +138,68 @@ def simulate_reads(
     """
     rng = np.random.default_rng(seed)
     L = len(ref)
+    slack = 8 + int(np.ceil(4 * read_len * indel_rate)) if indel_rate > 0 \
+        else 0
     out: list[FastxRecord] = []
     for i in range(n):
         if paired:
             ins = int(np.clip(rng.normal(insert_mean, insert_std), 2 * read_len, L))
-            pos = int(rng.integers(0, L - ins + 1))
-            frag = ref[pos : pos + ins]
-            r1 = frag[:read_len].copy()
-            r2 = dna.revcomp(frag[-read_len:]).copy()
-            for r in (r1, r2):
-                _mutate(r, rng, error_rate)
+            pos = int(rng.integers(0, L - ins - slack + 1))
+            frag = ref[pos : pos + ins + slack]
+            r1 = _mutate(frag[: read_len + slack], rng, read_len,
+                         error_rate, indel_rate)
+            r2 = _mutate(dna.revcomp(frag[:ins])[: read_len + slack], rng,
+                         read_len, error_rate, indel_rate)
             out.append(FastxRecord(f"sim_{i}_{pos}_{ins}", dna.decode(r1)))
             out.append(FastxRecord(f"sim_{i}_{pos}_{ins}", dna.decode(r2)))
         else:
             strand = int(rng.integers(0, 2))
-            pos = int(rng.integers(0, L - read_len + 1))
-            r = ref[pos : pos + read_len].copy()
+            pos = int(rng.integers(0, L - read_len - slack + 1))
+            r = ref[pos : pos + read_len + slack]
             if strand:
                 r = dna.revcomp(r)
-            _mutate(r, rng, error_rate)
-            out.append(FastxRecord(f"sim_{i}_{pos}_{strand}", dna.decode(r)))
+            r = _mutate(r, rng, read_len, error_rate, indel_rate)
+            # truth = leftmost consumed reference base (forward coords):
+            # a reverse read consumes the window from its high end, so
+            # without indels it covers [pos+slack, pos+read_len+slack)
+            tpos = pos + slack if strand else pos
+            out.append(FastxRecord(f"sim_{i}_{tpos}_{strand}", dna.decode(r)))
     return out
 
 
-def _mutate(r: np.ndarray, rng: np.random.Generator, error_rate: float) -> None:
-    if error_rate <= 0:
-        return
-    errs = rng.random(len(r)) < error_rate
-    shift = rng.integers(1, 4, size=len(r)).astype(np.uint8)
-    r[errs] = (r[errs] + shift[errs]) % 4
+def _mutate(window: np.ndarray, rng: np.random.Generator, read_len: int,
+            error_rate: float, indel_rate: float) -> np.ndarray:
+    """Substitutions + (optional) 1-3bp indels; returns exactly read_len
+    bases drawn from a window of read_len + slack."""
+    r = window[:read_len].copy()
+    if error_rate > 0:
+        errs = (rng.random(read_len) < error_rate) & (r < 4)
+        shift = rng.integers(1, 4, size=read_len).astype(np.uint8)
+        r[errs] = (r[errs] + shift[errs]) % 4
+    n_ind = int(rng.binomial(read_len, indel_rate)) if indel_rate > 0 else 0
+    if n_ind == 0:
+        return r
+    # slow path (rare): re-walk the window applying indel events
+    out: list[int] = []
+    i = 0
+    events = set(int(x) for x in rng.integers(1, read_len - 1, n_ind))
+    w = window.copy()
+    if error_rate > 0:
+        errs = (rng.random(len(w)) < error_rate) & (w < 4)
+        shift = rng.integers(1, 4, size=len(w)).astype(np.uint8)
+        w[errs] = (w[errs] + shift[errs]) % 4
+    while len(out) < read_len and i < len(w):
+        if len(out) in events and i > 0:
+            events.discard(len(out))
+            m = int(rng.integers(1, 4))
+            if rng.random() < 0.5:
+                i += m                        # deletion: skip ref bases
+            else:
+                for _ in range(m):            # insertion: random bases
+                    out.append(int(rng.integers(0, 4)))
+            continue
+        out.append(int(w[i]))
+        i += 1
+    while len(out) < read_len:
+        out.append(int(rng.integers(0, 4)))
+    return np.array(out[:read_len], dtype=np.uint8)

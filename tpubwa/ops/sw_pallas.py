@@ -25,10 +25,15 @@ NEG = -(2**30)
 
 
 def _lane_shift_right(x, sh, fill):
-    """Shift along the lane axis (last dim): out[..., j] = x[..., j-sh]."""
-    rolled = jnp.roll(x, sh, axis=1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(jj < sh, fill, rolled)
+    """Shift along the lane axis (last dim): out[..., j] = x[..., j-sh].
+
+    sh is STATIC — a concatenate of static slices, not jnp.roll: roll
+    builds int64 index arithmetic under x64, which Mosaic cannot lower.
+    """
+    if sh == 0:
+        return x
+    pad = jnp.full((x.shape[0], sh), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, : x.shape[1] - sh]], axis=1)
 
 
 def _excl_cummax_lanes(a):
@@ -45,6 +50,12 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del, e_del,
             o_ins, e_ins, zdrop, a_sc, b_sc):
     N = q_ref.shape[0]
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    # bind every static scalar as a typed int32: under jax_enable_x64 a
+    # bare python int entering a lax op becomes a weak i64[] scalar, and
+    # Mosaic cannot lower 64-bit converts (infinite _convert_helper loop)
+    o_del, e_del, o_ins, e_ins, zdrop, a_sc, b_sc, oe_del, oe_ins = (
+        jnp.int32(v) for v in (o_del, e_del, o_ins, e_ins, zdrop, a_sc,
+                               b_sc, oe_del, oe_ins))
     jj = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
     qlen = scal_ref[:, 0:1]
     tlen = scal_ref[:, 1:2]
@@ -78,7 +89,10 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del, e_del,
 
     def cond(st):
         i, *_, done = st
-        return jnp.any((done == 0) & (i < tlen))
+        # int32 max, not jnp.any: Mosaic lowers boolean reductions through
+        # a float helper that re-traces under x64 (f64 is unsupported)
+        live = ((done == 0) & (i < tlen)).astype(jnp.int32)
+        return jnp.max(live) > 0
 
     def body(st):
         (i, eh_h, eh_e, beg0, end0, mx0, max_i0, max_j0, max_ie0, gscore0,
@@ -208,20 +222,25 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
         tpad = jnp.concatenate([tpad, jnp.full((pad_n, T), 4, jnp.int32)])
         scal = jnp.concatenate([scal, jnp.zeros((pad_n, 6), jnp.int32)])
     Np = qpad.shape[0]
-    out = pl.pallas_call(
-        kernel,
-        grid=(Np // tile,),
-        out_shape=jax.ShapeDtypeStruct((Np, 6), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((tile, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, T), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 6), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile, 6), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(qpad, tpad, scal)
+    # Trace the kernel with x64 DISABLED: under jax_enable_x64 every bare
+    # python literal inside the kernel becomes a weak i64[] scalar operand,
+    # and Mosaic cannot lower 64-bit converts. All kernel inputs/outputs
+    # are explicit int32, so semantics are unchanged.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(Np // tile,),
+            out_shape=jax.ShapeDtypeStruct((Np, 6), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, T), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 6), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 6), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(qpad, tpad, scal)
     return out[:N]

@@ -61,12 +61,14 @@ def _window_from_pac(didx: DeviceIndex, a_base: jnp.ndarray, r0: jnp.ndarray,
     a_base is an absolute pac position; r0 = the first fetched row
     (a_base inside rows [r0, r0+NROW)). backward selects the -j direction.
     """
-    idx = r0[:, None] + jnp.arange(NROW, dtype=jnp.int32)[None, :]
+    # pac row index < l_pac/128 < 2**31 for every supported genome
+    idx = r0.astype(jnp.int32)[:, None] + \
+        jnp.arange(NROW, dtype=jnp.int32)[None, :]
     idx = jnp.clip(idx, 0, didx.pac_rows.shape[0] - 1)
     rows = didx.pac_rows[idx]                        # (B, NROW, 8)
     w = rows.reshape(rows.shape[0], NROW * 8)        # (B, NW) words
     NW = NROW * 8
-    a = jnp.clip(a_base - (r0 << 7), 0, NROW * 128 - 1)
+    a = jnp.clip(a_base - (r0 << 7), 0, NROW * 128 - 1).astype(jnp.int32)
 
     # word-level shift first (cheap), then decode, then base-level shift
     NWOUT = W // 16 + 2

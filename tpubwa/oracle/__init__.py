@@ -127,14 +127,14 @@ def _declare(lib: C.CDLL) -> None:
     lib.tb_finish_se_sam.argtypes = [
         C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
         C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
-        i32p, i32p, i32p, C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
+        i64p, i32p, i32p, C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
     ]
     f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
     lib.tb_sais.restype = C.c_int
     lib.tb_sais.argtypes = [u8p, C.c_int64, i64p]
     lib.tb_regs_pre.restype = C.c_int
     lib.tb_regs_pre.argtypes = [C.c_void_p, C.POINTER(CMemOpt), u8p, C.c_int,
-                                C.POINTER(C.POINTER(C.c_int32)), i32p]
+                                C.POINTER(C.POINTER(C.c_int64)), i32p]
     lib.tb_align_pe_sam.restype = C.c_void_p
     lib.tb_align_pe_sam.argtypes = [
         C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
@@ -145,7 +145,7 @@ def _declare(lib: C.CDLL) -> None:
     lib.tb_finish_pe_sam.argtypes = [
         C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
         C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
-        i32p, i32p, i32p, C.c_void_p, C.c_int, C.c_int64, C.c_char_p,
+        i64p, i32p, i32p, C.c_void_p, C.c_int, C.c_int64, C.c_char_p,
         C.POINTER(C.c_int64),
     ]
 
@@ -259,12 +259,12 @@ class Oracle:
     def regs_pre(self, seq, opt: MemOptions):
         """Pre-dedup regions in the device/finish 10-field layout + l_rep."""
         seq = np.ascontiguousarray(seq, dtype=np.uint8)
-        rows = C.POINTER(C.c_int32)()
+        rows = C.POINTER(C.c_int64)()
         l_rep = np.zeros(1, dtype=np.int32)
         n = self._lib.tb_regs_pre(self._h, C.byref(to_copt(opt)), seq,
                                   len(seq), C.byref(rows), l_rep)
         arr = (np.ctypeslib.as_array(rows, shape=(n, 10)).copy() if n
-               else np.empty((0, 10), dtype=np.int32))
+               else np.empty((0, 10), dtype=np.int64))
         return arr, int(l_rep[0])
 
     def align_pe(self, batch, opt: MemOptions, id0=0, rg_id=""):

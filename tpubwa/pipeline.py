@@ -79,6 +79,10 @@ class Aligner:
                                   cache=lut_cache)
                     if seed_impl == "lut" else None)
         self._packed_fn = None
+        # running workload-honesty counters (reset freely by callers):
+        # fallback_reads = reads realigned by the host oracle after a
+        # device-cap overflow — the benchmark reports this rate
+        self.stats = {"reads": 0, "fallback_reads": 0}
 
     def worker1_device(self, seqs: jnp.ndarray, lens: jnp.ndarray):
         """Device half: returns the reg-state dict from extend_chains."""
@@ -100,10 +104,13 @@ class Aligner:
         bandwidth over the interconnect dominates the batch wall time
         otherwise; the (B, R) reg grid is ~97% padding at R=32).
 
-        Layout: [counts(B) | regs(cap, 5) row-major], cap = CAP_FACTOR*B.
+        Layout: [counts(B) | regs(cap, 6) row-major], cap = CAP_FACTOR*B.
           counts[b] = n_eff | overflow<<6 | l_rep<<7
-          reg words: w0=rb; w1=(re-rb)|qb<<16; w2=(qe-qb)|score<<16;
-                     w3=truesc|w<<16; w4=seedcov|seedlen0<<10|rid<<20.
+          reg words: w0=rb low 32 bits; w1=(re-rb)|qb<<16;
+                     w2=(qe-qb)|score<<16; w3=truesc|w<<16;
+                     w4=seedcov|seedlen0<<10|rid<<20; w5=rb high bits
+                     (always 0 below 2 Gbp text — kept for a uniform
+                     layout; GRCh38 positions need 33 bits).
         Regs of read b occupy rows [sum(n_eff[:b]), +n_eff[b]) — offsets are
         recomputed on host from counts. Any read whose fields exceed the bit
         budgets (or whose regs would overflow cap) gets overflow=1, n_eff=0
@@ -141,13 +148,21 @@ class Aligner:
                 ovf = ovf | capovf
                 ne = jnp.where(capovf, 0, ne)
 
+                if rb.dtype == jnp.int64:
+                    rb_lo = (rb & 0xFFFFFFFF).astype(jnp.uint32) \
+                        .astype(jnp.int32)   # wraps: reinterpret low word
+                    rb_hi = (rb >> 32).astype(jnp.int32)
+                else:
+                    rb_lo = rb
+                    rb_hi = jnp.zeros_like(rb)
                 words = jnp.stack([
-                    rb,
-                    (re - rb) | (qb << 16),
+                    rb_lo,
+                    (re - rb).astype(jnp.int32) | (qb << 16),
                     (qe - qb) | (score << 16),
                     truesc | (w << 16),
                     seedcov | (seedlen0 << 10) | (rid << 20),
-                ], axis=-1).reshape(B * R, 5)
+                    rb_hi,
+                ], axis=-1).reshape(B * R, 6)
                 valid = (ridx < ne[:, None]).reshape(-1)
                 csum = jnp.cumsum(valid.astype(jnp.int32))
                 src = jnp.searchsorted(csum, jnp.arange(1, cap + 1,
@@ -162,14 +177,14 @@ class Aligner:
 
     def _unpack_host(self, buf: np.ndarray, B: int):
         """Inverse of worker1_packed's packing: returns (n, ovf, l_rep,
-        flat regs (total, 10) int32 in REG_FIELDS order)."""
+        flat regs (total, 10) int64 in REG_FIELDS order)."""
         counts = buf[:B]
         ne = counts & 63
         ovf = ((counts >> 6) & 1).astype(bool)
         l_rep = counts >> 7
         total = int(ne.sum())
-        rows = buf[B:].reshape(-1, 5)[:total]
-        rb = rows[:, 0]
+        rows = buf[B:].reshape(-1, 6)[:total].astype(np.int64)
+        rb = (rows[:, 5] << 32) | (rows[:, 0] & 0xFFFFFFFF)
         re = rb + (rows[:, 1] & 0xFFFF)
         qb = rows[:, 1] >> 16
         qe = qb + (rows[:, 2] & 0xFFFF)
@@ -180,7 +195,7 @@ class Aligner:
         seedlen0 = (rows[:, 4] >> 10) & 0x3FF
         rid = rows[:, 4] >> 20
         flat = np.stack([rb, re, qb, qe, score, truesc, w, seedcov,
-                         seedlen0, rid], axis=1).astype(np.int32)
+                         seedlen0, rid], axis=1).astype(np.int64)
         return ne.astype(np.int32), ovf, l_rep.astype(np.int32), flat
 
     def _collect_smems(self, didx, seqs, lens, lut=None):
@@ -220,7 +235,7 @@ class Aligner:
             lens = jnp.asarray(b.lens)
             pending.append((b, self.worker1_packed(seqs, lens), n))
             n += b.n
-            if len(pending) > depth:
+            if len(pending) >= depth:
                 bb, dev, i0 = pending.pop(0)
                 yield self._finish_se_buf(bb, np.asarray(dev), i0)
         for bb, dev, i0 in pending:
@@ -230,6 +245,8 @@ class Aligner:
                        id0: int) -> str:
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
         offs = np.concatenate([[0], np.cumsum(n)])
+        self.stats["reads"] += batch.n
+        self.stats["fallback_reads"] += int(ovf.sum())
 
         out_parts: list[str] = []
         # group maximal runs of non-overflow reads into single native calls
@@ -276,7 +293,7 @@ class Aligner:
                 else:
                     parts.append(flat[offs[b]:offs[b + 1]])
             flat = (np.concatenate(parts, axis=0) if parts
-                    else np.empty((0, len(REG_FIELDS)), np.int32))
+                    else np.empty((0, len(REG_FIELDS)), np.int64))
         lib = self.oracle._lib
         seqs_h = np.ascontiguousarray(batch.seqs, dtype=np.uint8)
         lens_h = np.ascontiguousarray(batch.lens, dtype=np.int32)
@@ -287,7 +304,7 @@ class Aligner:
         ptr = lib.tb_finish_pe_sam(
             self.oracle._h, C.byref(to_copt(opt_pe)), seqs_h, lens_h, names,
             quals, batch.n, seqs_h.shape[1],
-            np.ascontiguousarray(flat.astype(np.int32)),
+            np.ascontiguousarray(flat.astype(np.int64)),
             np.ascontiguousarray(n.astype(np.int32)),
             np.ascontiguousarray(l_rep.astype(np.int32)),
             None, 0, id0, self.rg_id.encode(), C.byref(out_len))

@@ -146,7 +146,7 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         # one-hot row select, not a gather: per-offset gather cost on TPU
         # (~40-150ns) dwarfs the (B, L) VPU mask-sum
         oh = li == jnp.clip(pos, 0, L - 1)[:, None]
-        return jnp.sum(jnp.where(oh, seqs, 0), axis=1)
+        return jnp.sum(jnp.where(oh, seqs, 0), axis=1, dtype=jnp.int32)
 
     def push_stack(st, mask, k, l, s, qe):
         # one-hot select instead of scatter: TPU scatters serialize
@@ -224,7 +224,8 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
         r2_done = p4 & ~has_cand
         nxt_c = jnp.clip(nxt, 0, M - 1)
         oh_nxt = slot == nxt_c[:, None]
-        pick = lambda a: jnp.sum(jnp.where(oh_nxt, a, 0), axis=1)
+        pick = lambda a: jnp.sum(jnp.where(oh_nxt, a, 0), axis=1,
+                                 dtype=jnp.int32)
         c_qb = pick(st["out_qb"])
         c_qe = pick(st["out_qe"])
         c_s = pick(st["out_s"])
@@ -306,7 +307,8 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             jj = jnp.arange(SM, dtype=jnp.int32)[None, None, :]
             rev_oh = (ii + jj) == (n[:, None, None] - 1)
             take = lambda a: jnp.sum(
-                jnp.where(rev_oh, a[:, None, :], 0), axis=2)
+                jnp.where(rev_oh, a[:, None, :], 0), axis=2,
+                dtype=jnp.int32)
             for name in ("st_k", "st_l", "st_s", "st_qe"):
                 st[name] = jnp.where(p2[:, None], take(st[name]), st[name])
             st["x_ret"] = jnp.where(p2 & st["round1"], st["st_qe"][:, 0],
@@ -381,7 +383,8 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
                 (st["i"] + 1 < st["last_start"])
             ff = jnp.clip(first_fail, 0, SM - 1)
             oh_ff = sidx == ff[:, None]
-            pick_ff = lambda a: jnp.sum(jnp.where(oh_ff, a, 0), axis=1)
+            pick_ff = lambda a: jnp.sum(jnp.where(oh_ff, a, 0), axis=1,
+                                        dtype=jnp.int32)
             st = emit(st, do_out, st["i"] + 1, pick_ff(st["st_qe"]),
                       pick_ff(st["st_k"]), pick_ff(st["st_s"]))
             # bwa tracks the last RECORDED entry's start (containment skips do
@@ -399,14 +402,16 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             lastj_oh = lastj[:, :, None] == jnp.arange(SM)[None, None, :]
             s_before = jnp.where(
                 lastj >= 0,
-                jnp.sum(jnp.where(lastj_oh, bs[:, None, :], 0), axis=2), -1)
+                jnp.sum(jnp.where(lastj_oh, bs[:, None, :], 0), axis=2,
+                        dtype=jnp.int32), -1)
             keep = surv & ((bs != s_before) | (lastj < 0))
             kpos = jnp.cumsum(keep, axis=1) - 1
-            new_n = keep.sum(axis=1).astype(jnp.int32)
+            new_n = keep.sum(axis=1, dtype=jnp.int32)
             # row-local permutation via a one-hot (B, SM, SM) select (no scatter)
             oh_c = keep[:, None, :] & (kpos[:, None, :] == sidx[0][None, :, None])
             def compact(vals, old):
-                arr = jnp.sum(jnp.where(oh_c, vals[:, None, :], 0), axis=2)
+                arr = jnp.sum(jnp.where(oh_c, vals[:, None, :], 0), axis=2,
+                              dtype=jnp.int32)
                 return jnp.where(p3[:, None], arr, old)
             nst_k = compact(bk, st["st_k"])
             nst_l = compact(bl, st["st_l"])
@@ -450,7 +455,8 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
             qcap = lens - i
             okm = (qw == tw) & (qw <= 3) & (jj < tcap[:, None]) & \
                 (jj < qcap[:, None])
-            m = jnp.cumprod(okm.astype(jnp.int32), axis=1).sum(axis=1)
+            m = jnp.cumprod(okm.astype(jnp.int32), axis=1).sum(
+                axis=1, dtype=jnp.int32)
             bail = p & (m == tcap) & (m < qcap) & (seq_at(i + m) <= 3)
             fin = p & ~bail
             st = push_stack(st, fin, st["ik_k"], st["ik_l"], st["ik_s"],
@@ -489,7 +495,7 @@ def collect_smems_anchor(didx: DeviceIndex, seqs: jnp.ndarray,
     # final sort by (qb, qe), stable — matches the oracle's stable sort
     msk = jnp.arange(M)[None, :] < st["n_out"][:, None]
     key = jnp.where(msk, st["out_qb"] * (L + 2) + st["out_qe"], BIG)
-    order = jnp.argsort(key, axis=1, stable=True)
+    order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     return dict(
         qb=take(st["out_qb"]), qe=take(st["out_qe"]), k=take(st["out_k"]),

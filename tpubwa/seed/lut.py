@@ -152,9 +152,8 @@ def build_kmer_lut_arrays(idx: FMIndex, k0: int):
             steps[live] += 1
             live = live & ((kk % intv) != 0)
         P[u] = steps + idx.sa_samples[kk // intv]
-    if 2 * idx.l_pac >= 2**31:
-        raise NotImplementedError("int32 LUT requires genomes < 1 Gbp")
-    return K.astype(np.int32), S.astype(np.int32), P.astype(np.int32)
+    dt = np.int32 if 2 * idx.l_pac < 2**31 else np.int64
+    return K.astype(dt), S.astype(dt), P.astype(dt)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -165,7 +164,7 @@ class KmerLUT:
     with table footprint: field0 = text position when s == 1 (k is then
     never needed: the occurrence is known), else the interval rank k."""
     k0: int                    # static
-    ksp: jnp.ndarray           # int32[4^k0, 2]: (pos-if-s==1-else-k, s)
+    ksp: jnp.ndarray           # pos_dtype[4^k0, 2]: (pos-if-s==1-else-k, s)
 
     def tree_flatten(self):
         return ((self.ksp,), (self.k0,))
@@ -180,16 +179,24 @@ class KmerLUT:
               cache: str | Path | None = None) -> "KmerLUT":
         if k0 is None:
             k0 = default_k0(idx, min_seed_len)
+        # index identity: a stale cache built from a DIFFERENT genome at the
+        # same path would silently return wrong intervals — fingerprint by
+        # l_pac, primary and a strided occ-table checksum
+        stride = max(1, idx.occ_cp.shape[0] // 1024)
+        fp = np.array([idx.l_pac, idx.primary,
+                       int(idx.occ_cp[::stride].sum(dtype=np.uint64))],
+                      dtype=np.int64)
         if cache is not None:
             cache = Path(cache)
             if cache.exists():
                 z = np.load(str(cache))
-                if int(z["k0"]) == k0 and z["ksp"].shape[1] == 2:
+                if (int(z["k0"]) == k0 and z["ksp"].shape[1] == 2
+                        and "fp" in z and np.array_equal(z["fp"], fp)):
                     return KmerLUT(k0, jnp.asarray(z["ksp"]))
         K, S, P = build_kmer_lut_arrays(idx, k0)
         ksp = np.stack([np.where(S == 1, P, K), S], axis=1)
         if cache is not None:
-            np.savez(str(cache), k0=k0, ksp=ksp)
+            np.savez(str(cache), k0=k0, ksp=ksp, fp=fp)
         return KmerLUT(k0, jnp.asarray(ksp))
 
 
@@ -270,14 +277,6 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
               lens: jnp.ndarray, v: jnp.ndarray, shortcut: bool,
               cfg: LutSeedConfig, codes=None, lane_min=None,
               _stop_after: str = ""):
-    def _stopped(stage, *arrs):
-        """Debug-only partial-pipeline exit (perf bisection)."""
-        B, L = seqs.shape
-        z = jnp.zeros((B, L + 1), jnp.int32)
-        out = [z, z, z, z, jnp.zeros((B,), bool), jnp.int32(0)]
-        for i, a in enumerate(arrs):
-            out[i] = a
-        return tuple(out)
     """Per-end walk from the k0-mer start.  seqs (B, L) int32, v (B,).
 
     Returns (bstart, k, s, pos) each (B, L+1) indexed by end j (entry 0
@@ -292,6 +291,14 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
       comparison (one genome window per read finishes ALL its unique
       lanes) -> row-compacted per-lane fallback for off-diagonal lanes.
     """
+    def _stopped(stage, *arrs):
+        # debug-only partial-pipeline exit (perf bisection)
+        B, L = seqs.shape
+        z = jnp.zeros((B, L + 1), jnp.int32)
+        out = [z, z, z, z, jnp.zeros((B,), bool), jnp.int32(0)]
+        for i, a in enumerate(arrs):
+            out[i] = a
+        return tuple(out)
     B, L = seqs.shape
     k0 = lut.k0
     l_pac = didx.l_pac
@@ -339,7 +346,9 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
     padded = jnp.concatenate(
         [jnp.full((B, L), 4, jnp.int32), seqs.astype(jnp.int32)], axis=1)
     it = jnp.int32(0)
-    for t in range(cfg.fm_full):
+    # clamp: for batches narrower than k0 + fm_full the diagonal slice
+    # start L - k0 - t would wrap negative (wrong width, trace error)
+    for t in range(max(0, min(cfg.fm_full, L - k0))):
         c = padded[:, L - k0 - t: 2 * L - k0 - t]
         can = fm & (c < 4)
         k2, s2 = backward_ext(didx, jnp.where(can, k, 1),
@@ -403,13 +412,15 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         lambda st: jnp.any(st[4]) & (st[0] < L), fm_body,
         (jnp.int32(0), kd, sd, bd, dvalid & fm_f[srcc], jnp.zeros((D,), bool)))
 
-    # write back: one packed row gather (B*L, 3)
-    packed = jnp.stack([kd, sd, bd, sad.astype(jnp.int32)], axis=1)
+    # write back: one packed row gather (B*L, 4); bd/sad ride along in the
+    # rank dtype and are cast back after the gather
+    packed = jnp.stack([kd, sd, bd.astype(kd.dtype),
+                        sad.astype(kd.dtype)], axis=1)
     back = packed[jnp.clip(dpos, 0, D - 1)].reshape(B, L, 4)
     took = fm & (dpos.reshape(B, L) < D)
     k = jnp.where(took, back[..., 0], k)
     s = jnp.where(took, back[..., 1], s)
-    bpos = jnp.where(took, back[..., 2], bpos)
+    bpos = jnp.where(took, back[..., 2].astype(jnp.int32), bpos)
     if _stop_after == "fm2":
         return _stopped("fm2", jnp.pad(bpos, ((0, 0), (1, 0))),
                         jnp.pad(k, ((0, 0), (1, 0))),
@@ -428,12 +439,13 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         first_k = jnp.min(jnp.where(sa_now, jj, L), axis=1)
         has_k = first_k < L
         oh_k = sa_now & (jj == first_k[:, None])
-        diag_known = jnp.sum(jnp.where(oh_k, pos1 - bpos, 0), axis=1)
+        diag_known = jnp.sum(jnp.where(oh_k, pos1 - bpos, 0), axis=1,
+                             dtype=pos1.dtype)
         first_m = jnp.min(jnp.where(sa_mid, jj, L), axis=1)
         has_m = (first_m < L) & ~has_k
         oh_m = sa_mid & (jj == first_m[:, None])
-        k_first = jnp.sum(jnp.where(oh_m, k, 0), axis=1)
-        b_first = jnp.sum(jnp.where(oh_m, bpos, 0), axis=1)
+        k_first = jnp.sum(jnp.where(oh_m, k, 0), axis=1, dtype=k.dtype)
+        b_first = jnp.sum(jnp.where(oh_m, bpos, 0), axis=1, dtype=bpos.dtype)
         pos_first = sa_lookup(didx, jnp.where(has_m, k_first, 1), has_m)
         ref_diag = jnp.where(has_k, diag_known, pos_first - b_first)
         has_sa = has_k | has_m
@@ -488,25 +500,26 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         eq = (qw == tw2) & (qw >= 0) & (qw <= 3)
         e_raw = jnp.cumprod(eq.astype(jnp.int8), axis=1).sum(
             axis=1, dtype=jnp.int32)
-        e3 = jnp.minimum(jnp.minimum(e_raw, bp3), tcap)
+        e3 = jnp.minimum(jnp.minimum(e_raw, bp3), tcap).astype(jnp.int32)
         e3 = jnp.where(live3, e3, 0)
         crossed3 = live3 & (tcap < bp3) & (e_raw >= tcap)
-        packed3 = jnp.stack([e3, crossed3.astype(jnp.int32),
-                             p3], axis=1)
+        packed3 = jnp.stack([e3.astype(p3.dtype),
+                             crossed3.astype(p3.dtype), p3], axis=1)
         back3 = packed3[jnp.clip(dpos3, 0, D3 - 1)].reshape(B, L, 3)
         took3 = offdiag & (dpos3.reshape(B, L) < D3)
-        bpos = jnp.where(took3, bpos - back3[..., 0], bpos)
-        pos1 = jnp.where(took3, back3[..., 2] - back3[..., 0], pos1)
+        e3b = back3[..., 0].astype(jnp.int32)
+        bpos = jnp.where(took3, bpos - e3b, bpos)
+        pos1 = jnp.where(took3, back3[..., 2] - e3b, pos1)
         overflow |= (took3 & (back3[..., 1] > 0)).any(axis=1)
 
         sa_now = sa_all
         s = jnp.where(sa_now, 1, s)
         k = jnp.where(sa_now, -1, k)
 
-    pad = jnp.zeros((B, 1), jnp.int32)
-    cat = lambda a: jnp.concatenate([pad, a.astype(jnp.int32)], axis=1)
-    return cat(bpos), cat(k), cat(s), cat(pos1 if shortcut else
-                                          jnp.full((B, L), -1, jnp.int32)), \
+    cat = lambda a: jnp.concatenate(
+        [jnp.zeros((B, 1), a.dtype), a], axis=1)
+    return cat(bpos.astype(jnp.int32)), cat(k), cat(s), \
+        cat(pos1 if shortcut else jnp.full((B, L), -1, k.dtype)), \
         overflow, it
 
 
@@ -524,30 +537,60 @@ def _shift_rows(rows: jnp.ndarray, sh: jnp.ndarray, W: int) -> jnp.ndarray:
     return out[:, :W]
 
 
+def _split64(a):
+    """int64 -> (hi, lo) int32 halves with hi*2**30 + lo == a exactly
+    (arithmetic >> keeps the identity for negatives too). Lets 64-bit
+    position fields ride the int32 MXU one-hot contractions."""
+    return (a >> 30).astype(jnp.int32), \
+        (a & ((1 << 30) - 1)).astype(jnp.int32)
+
+
+def _join64(hi, lo):
+    return hi.astype(jnp.int64) * (1 << 30) + lo.astype(jnp.int64)
+
+
 def _compact_sorted(mask, key, arrays, max_out):
     """Compact masked lanes (already in emission = end-j order) into the
     first slots. One (B, M, L) one-hot contraction on the MXU — an argsort
     here costs ~5-10 ms per round on v5e; `key` is unused (kept for call
-    -site clarity: lanes arrive sorted by it).
+    -site clarity: lanes arrive sorted by it). int64 position fields are
+    split into int32 (hi, lo) halves around the contraction (exact: the
+    one-hot dot selects exactly one element per output slot).
 
-    Returns compacted arrays (B, max_out), count, overflow.
+    Returns compacted arrays (B, max_out) in their input dtypes, count,
+    overflow.
     """
     del key
     B, L = mask.shape
-    pos = jnp.cumsum(mask, axis=1) - 1
-    count = mask.sum(axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    count = mask.sum(axis=1, dtype=jnp.int32)
     overflow = count > max_out
     sel = mask & (pos < max_out)
     oh = ((pos[:, None, :] == jnp.arange(max_out, dtype=jnp.int32)
            [None, :, None]) & sel[:, None, :]).astype(jnp.int32)  # (B,M,L)
-    stacked = jnp.stack(arrays, axis=-1)                          # (B,L,F)
+    parts, widths = [], []
+    for a in arrays:
+        if a.dtype == jnp.int64:
+            hi, lo = _split64(a)
+            parts += [hi, lo]
+            widths.append(2)
+        else:
+            parts.append(a.astype(jnp.int32))
+            widths.append(1)
+    stacked = jnp.stack(parts, axis=-1)                           # (B,L,F')
     taken = jax.lax.dot_general(
         oh, stacked, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                         # (B,M,F)
+        preferred_element_type=jnp.int32)                         # (B,M,F')
     n = jnp.minimum(count, max_out)
     slot_ok = jnp.arange(max_out, dtype=jnp.int32)[None, :] < n[:, None]
-    outs = [jnp.where(slot_ok, taken[..., f], 0)
-            for f in range(len(arrays))]
+    outs, f = [], 0
+    for a, w in zip(arrays, widths):
+        if w == 2:
+            v = _join64(taken[..., f], taken[..., f + 1])
+        else:
+            v = taken[..., f]
+        outs.append(jnp.where(slot_ok, v, 0).astype(a.dtype))
+        f += w
     return outs, n, overflow
 
 
@@ -589,8 +632,8 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
     slot_valid = jnp.arange(M)[None, :] < n1[:, None]
     cand = slot_valid & ((qe1 - qb1) >= cfg.split_len) & \
         (ss1 <= cfg.split_width)
-    cand_rank = jnp.cumsum(cand, axis=1) - 1
-    n_cand = cand.sum(axis=1)
+    cand_rank = jnp.cumsum(cand.astype(jnp.int32), axis=1) - 1
+    n_cand = cand.sum(axis=1, dtype=jnp.int32)
     ovf_cand = n_cand > cfg.max_reseed
 
     all_qb, all_qe, all_k, all_s, all_p = ([qb1], [qe1], [kk1], [ss1], [pp1])
@@ -602,7 +645,8 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         mid = jnp.where(
             has, ((qb1 + qe1) >> 1).max(axis=1, initial=0, where=sel), 0)
         v_r = jnp.where(has, ss1.max(axis=1, initial=0, where=sel) + 1,
-                        jnp.int32(BIG))
+                        jnp.asarray(jnp.iinfo(ss1.dtype).max // 2,
+                                    ss1.dtype))
         # nearly every read has ONE candidate (any long unique SMEM
         # qualifies), so r=0 runs full-width; later candidates are rare
         # and run on a row-compacted sub-batch
@@ -652,9 +696,9 @@ def collect_smems_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
     # final stable sort by (qb, qe) with round order as tiebreak — matches
     # the oracle's ordering (fits int32: L <= 2^14)
     key = jnp.where(msk, qb * (L + 2) + qe, jnp.int32(BIG))
-    order = jnp.argsort(key, axis=1, stable=True)[:, :M]
+    order = jnp.argsort(key, axis=1, stable=True)[:, :M].astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
-    n_total = msk.sum(axis=1).astype(jnp.int32)
+    n_total = msk.sum(axis=1, dtype=jnp.int32)
     overflow = overflow | (n_total > M)
     n_out = jnp.minimum(n_total, M)
     return dict(

@@ -169,3 +169,109 @@ def ksw_extend_batch(query, qlen, target, tlen, h0, w, end_bonus, valid,
             q, ql, t, tl, h, ww, eb, v, scmat, o_del, e_del, o_ins, e_ins,
             zdrop))
     return fn(query, qlen, target, tlen, h0, w, end_bonus, valid)
+
+
+# ---------------------------------------------------------------------------
+# local alignment (ksw_align forward pass) — exact native/ksw.cpp::local_fwd
+# semantics [bwa: ksw.c :: ksw_u8 with KSW_XSUBO], used by mate rescue
+# [bwa: bwamem_pair.c :: mem_matesw]. Semantic reference for the Pallas
+# kernel in tpubwa/ops/sw_pallas.py :: ksw_local_pallas.
+# ---------------------------------------------------------------------------
+
+def _local_one(query, qlen, target, tlen, valid, minsc, scmat,
+               o_del, e_del, o_ins, e_ins, want_sub):
+    """One unbanded local-SW task. Returns (score, te, qe, score2, te2)."""
+    Q = query.shape[0]
+    T = target.shape[0]
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    jj = jnp.arange(Q, dtype=jnp.int32)
+    qcode = jnp.clip(query, 0, 4)
+    in_q = jj < qlen
+
+    def row(carry, i):
+        H, E = carry
+        live = valid & (i < tlen)
+        tc = jnp.clip(target[jnp.clip(i, 0, T - 1)], 0, 4)
+        S = scmat[tc, qcode]
+        Hd = jnp.concatenate([jnp.zeros(1, jnp.int32), H[:-1]])
+        M = jnp.maximum(Hd + S, 0)
+        G = jnp.maximum(M, E)
+        A = (G - oe_ins) + e_ins * jj
+        F = jnp.maximum(_excl_cummax(A) - e_ins * (jj - 1), 0)
+        Hn = jnp.where(in_q, jnp.maximum(G, F), 0)
+        En = jnp.where(in_q, jnp.maximum(
+            jnp.maximum(E - e_del, Hn - oe_del), 0), 0)
+        imax = jnp.max(Hn, initial=0)
+        imj = jnp.min(jnp.where((Hn == imax) & (imax > 0), jj, Q + 1),
+                      initial=Q + 1)
+        imj = jnp.where(imax > 0, imj, -1)
+        H2 = jnp.where(live, Hn, H)
+        E2 = jnp.where(live, En, E)
+        return (H2, E2), (jnp.where(live, imax, 0), imj)
+
+    (_, _), (imaxs, imjs) = jax.lax.scan(
+        row, (jnp.zeros(Q, jnp.int32), jnp.zeros(Q, jnp.int32)),
+        jnp.arange(T, dtype=jnp.int32))
+
+    # best: strictly-greater update => earliest row of the global max
+    def pick(carry, x):
+        best, te, qe, i = carry
+        imax, imj = x
+        better = imax > best
+        return (jnp.where(better, imax, best), jnp.where(better, i, te),
+                jnp.where(better, imj, qe), i + 1), None
+
+    (best, te, qe, _), _ = jax.lax.scan(
+        pick, (jnp.int32(0), jnp.int32(-1), jnp.int32(-1), jnp.int32(0)),
+        (imaxs, imjs))
+
+    if not want_sub:
+        return best, te, qe, jnp.int32(0), jnp.int32(-1)
+
+    # score2: bwa's quirky run tracking — a run's position is the row of its
+    # last max UPDATE; adjacency is tested against that row, so
+    # non-improving rows can split runs [native/ksw.cpp :: local_fwd]
+    lo, hi = te - qlen, te + qlen
+
+    def run(carry, x):
+        bf, bs, ans2, ate2, i = carry
+        imax = x
+        elig = valid & (i < tlen) & (imax >= minsc)
+        new_run = elig & (bs + 1 != i)
+        fin = new_run & (bs >= 0)
+        outside = (bs < lo) | (bs > hi)
+        upd = fin & outside & (bf > ans2)
+        ans2 = jnp.where(upd, bf, ans2)
+        ate2 = jnp.where(upd, bs, ate2)
+        grow = elig & ~new_run & (imax > bf)
+        bf2 = jnp.where(new_run, imax, jnp.where(grow, imax, bf))
+        bs2 = jnp.where(new_run, i, jnp.where(grow, i, bs))
+        return (bf2, bs2, ans2, ate2, i + 1), None
+
+    (bf, bs, ans2, ate2, _), _ = jax.lax.scan(
+        run, (jnp.int32(0), jnp.int32(-2), jnp.int32(0), jnp.int32(-1),
+              jnp.int32(0)), imaxs)
+    fin = bs >= 0
+    upd = fin & ((bs < lo) | (bs > hi)) & (bf > ans2)
+    ans2 = jnp.where(upd, bf, ans2)
+    ate2 = jnp.where(upd, bs, ate2)
+    return best, te, qe, ans2, ate2
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+def ksw_local_batch(query, qlen, target, tlen, valid, minsc, scmat_tuple,
+                    o_del=6, e_del=1, o_ins=6, e_ins=1, want_sub=True):
+    """Batched unbanded local SW. query: (N, Q) int32; target: (N, T) int32;
+    minsc: (N,) int32 (score2-eligibility threshold).
+
+    Returns five (N,) int32 arrays: score, te, qe, score2, te2 — exact
+    native/ksw.cpp::local_fwd semantics.
+    """
+    import numpy as np
+    scmat = jnp.asarray(np.array(scmat_tuple, np.int32).reshape(5, 5))
+    fn = jax.vmap(
+        lambda q, ql, t, tl, v, ms: _local_one(
+            q, ql, t, tl, v, ms, scmat, o_del, e_del, o_ins, e_ins,
+            want_sub))
+    out = fn(query, qlen, target, tlen, valid, minsc)
+    return out

@@ -188,6 +188,163 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del, e_del,
     out_ref[:, :] = out
 
 
+def _local_kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del,
+                  e_del, o_ins, e_ins, a_sc, b_sc, want_sub):
+    """Unbanded local SW (ksw_align forward pass) — exact
+    native/ksw.cpp::local_fwd semantics; see jax_extend.ksw_local_batch
+    for the scan-level reference. Tasks across sublanes, query across
+    lanes; target rows stream sequentially; per-row maxima are stored in a
+    VMEM (N, T) scratch for the score2 run-tracking pass."""
+    N = q_ref.shape[0]
+    o_del, e_del, o_ins, e_ins, a_sc, b_sc = (
+        jnp.int32(v) for v in (o_del, e_del, o_ins, e_ins, a_sc, b_sc))
+    oe_del, oe_ins = o_del + e_del, o_ins + e_ins
+    jj = jax.lax.broadcasted_iota(jnp.int32, (N, LANES), 1)
+    tt = jax.lax.broadcasted_iota(jnp.int32, (N, T), 1)
+    qlen = scal_ref[:, 0:1]
+    tlen = scal_ref[:, 1:2]
+    minsc = scal_ref[:, 2:3]
+    valid = scal_ref[:, 3:4] != 0
+    q = q_ref[:, :]
+    in_q = jj < qlen
+
+    zrow = jnp.zeros((N, LANES), jnp.int32)
+    z1 = jnp.zeros((N, 1), jnp.int32)
+    init = (z1,                     # i
+            zrow, zrow,             # H, E
+            z1,                     # best
+            z1 - 1, z1 - 1,         # te, qe
+            jnp.zeros((N, T), jnp.int32))  # per-row maxima
+
+    def cond(st):
+        i = st[0]
+        live = (valid & (i < tlen)).astype(jnp.int32)
+        return jnp.max(live) > 0
+
+    def body(st):
+        i, H, E, best, te, qe, imax_arr = st
+        live = valid & (i < tlen)
+        isafe = jnp.clip(i, 0, T - 1)
+        tc = jnp.max(jnp.where(tt == isafe, t_ref[:, :], -1), axis=1,
+                     keepdims=True)
+        S = jnp.where((tc == q) & (tc < 4) & (q < 4), a_sc,
+                      jnp.where((tc > 3) | (q > 3), -1, -b_sc))
+        Hd = _lane_shift_right(H, 1, 0)
+        M = jnp.maximum(Hd + S, 0)
+        G = jnp.maximum(M, E)
+        A = (G - oe_ins) + e_ins * jj
+        F = jnp.maximum(_excl_cummax_lanes(A) - e_ins * (jj - 1), 0)
+        Hn = jnp.where(in_q, jnp.maximum(G, F), 0)
+        En = jnp.where(in_q, jnp.maximum(
+            jnp.maximum(E - e_del, Hn - oe_del), 0), 0)
+        imax = jnp.max(Hn, axis=1, keepdims=True)
+        imj = jnp.min(jnp.where((Hn == imax) & (imax > 0), jj, LANES + 1),
+                      axis=1, keepdims=True)
+        imj = jnp.where(imax > 0, imj, -1)
+        better = live & (imax > best)
+        best2 = jnp.where(better, imax, best)
+        te2 = jnp.where(better, i, te)
+        qe2 = jnp.where(better, imj, qe)
+        if want_sub:
+            imax_arr = jnp.where((tt == isafe) & live, imax, imax_arr)
+        return (i + 1, jnp.where(live, Hn, H), jnp.where(live, En, E),
+                best2, te2, qe2, imax_arr)
+
+    i, H, E, best, te, qe, imax_arr = jax.lax.while_loop(cond, body, init)
+
+    if want_sub:
+        # run tracking over the stored row maxima [local_fwd's b list]:
+        # a run's position is the row of its last max update; adjacency is
+        # tested against that row; filter vs [te-qlen, te+qlen] at the end
+        lo, hi = te - qlen, te + qlen
+
+        def rcond(st):
+            i = st[0]
+            live = (valid & (i < tlen)).astype(jnp.int32)
+            return jnp.max(live) > 0
+
+        def rbody(st):
+            i, bf, bs, ans2, ate2 = st
+            live = valid & (i < tlen)
+            isafe = jnp.clip(i, 0, T - 1)
+            im = jnp.max(jnp.where(tt == isafe, imax_arr, -1), axis=1,
+                         keepdims=True)
+            elig = live & (im >= minsc)
+            new_run = elig & (bs + 1 != i)
+            fin = new_run & (bs >= 0)
+            upd = fin & ((bs < lo) | (bs > hi)) & (bf > ans2)
+            ans2 = jnp.where(upd, bf, ans2)
+            ate2 = jnp.where(upd, bs, ate2)
+            grow = elig & (new_run == False) & (im > bf)  # noqa: E712
+            bf2 = jnp.where(new_run | grow, im, bf)
+            bs2 = jnp.where(new_run | grow, i, bs)
+            return i + 1, bf2, bs2, ans2, ate2
+
+        _, bf, bs, ans2, ate2 = jax.lax.while_loop(
+            rcond, rbody, (z1, z1, z1 - 2, z1, z1 - 1))
+        upd = (bs >= 0) & ((bs < lo) | (bs > hi)) & (bf > ans2)
+        ans2 = jnp.where(upd, bf, ans2)
+        ate2 = jnp.where(upd, bs, ate2)
+    else:
+        ans2 = z1
+        ate2 = z1 - 1
+
+    out_ref[:, :] = jnp.concatenate([best, te, qe, ans2, ate2], axis=1)
+
+
+@partial(jax.jit,
+         static_argnames=("o_del", "e_del", "o_ins", "e_ins", "a_sc",
+                          "b_sc", "want_sub", "interpret"))
+def ksw_local_pallas(query, qlen, target, tlen, minsc, valid,
+                     o_del=6, e_del=1, o_ins=6, e_ins=1, a_sc=1, b_sc=4,
+                     want_sub=True, interpret=False):
+    """Batched unbanded local SW on TPU. query: (N, Q) int; target: (N, T)
+    int; qlen/tlen/minsc/valid: (N,).
+
+    Returns (N, 5) int32: score, te, qe, score2, te2 — exact
+    native/ksw.cpp::local_fwd semantics (ksw_align forward pass).
+    """
+    N, Q = query.shape
+    T = target.shape[1]
+    LANES = max(128, ((Q + 127) // 128) * 128)
+    qpad = jnp.full((N, LANES), 4, jnp.int32)
+    qpad = qpad.at[:, :Q].set(query.astype(jnp.int32))
+    tpad = target.astype(jnp.int32)
+    scal = jnp.stack([qlen.astype(jnp.int32), tlen.astype(jnp.int32),
+                      minsc.astype(jnp.int32),
+                      valid.astype(jnp.int32)], axis=1)
+    kernel = partial(_local_kernel, T=T, LANES=LANES, o_del=o_del,
+                     e_del=e_del, o_ins=o_ins, e_ins=e_ins, a_sc=a_sc,
+                     b_sc=b_sc, want_sub=want_sub)
+    # VMEM per task: H/E/body temps on LANES + the (T,) row-max scratch
+    tile = max(8, min(N, 256 * 128 // max(LANES, T)))
+    if N % tile:
+        pad_n = tile - N % tile
+        qpad = jnp.concatenate(
+            [qpad, jnp.full((pad_n, LANES), 4, jnp.int32)])
+        tpad = jnp.concatenate([tpad, jnp.full((pad_n, T), 4, jnp.int32)])
+        scal = jnp.concatenate([scal, jnp.zeros((pad_n, 4), jnp.int32)])
+    Np = qpad.shape[0]
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(Np // tile,),
+            out_shape=jax.ShapeDtypeStruct((Np, 5), jnp.int32),
+            in_specs=[
+                pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, T), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, 5), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(qpad, tpad, scal)
+    return out[:N]
+
+
 @partial(jax.jit,
          static_argnames=("o_del", "e_del", "o_ins", "e_ins", "zdrop",
                           "a_sc", "b_sc", "interpret"))

@@ -260,7 +260,16 @@ const char *tb_align_se_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
 
 #include "pe.h"
 
+namespace tb {
+extern int g_rescue_inject_miss;
+}
+
 extern "C" {
+
+// #scalar fallbacks taken while an inject table was present (tests assert 0
+// — the task extraction must be a superset of the windows actually run)
+int tb_rescue_miss_count() { return tb::g_rescue_inject_miss; }
+void tb_rescue_miss_reset() { tb::g_rescue_inject_miss = 0; }
 
 // Paired-end batch: reads interleaved (pair i = reads 2i, 2i+1).
 // Computes worker1 regions for all ends, per-batch insert statistics
@@ -306,37 +315,100 @@ const char *tb_align_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
   return h->str.c_str();
 }
 
-// PE finishing on device-computed regions (the production path): same layout
-// as tb_finish_se_sam for regs, but pairs + pestat from a histogram.
-// hist4: 4 x (max_ins+1) int64 insert histogram (already psum'd across the
-// mesh on device) — or null to compute pestat from the regions directly.
-const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
-                             const int32_t *lens, const char **names,
-                             const char **quals, int n_reads, int stride,
-                             const int64_t *regs_flat, const int32_t *n_regs,
-                             const int32_t *l_rep, const int64_t *hist4,
-                             int max_ins_hist, int64_t id0, const char *rg_id,
-                             int64_t *out_len) {
-  Handle *h = (Handle *)hp;
-  h->str.clear();
-  std::vector<std::vector<AlnReg>> regs(n_reads);
+// rebuild per-read AlnReg lists from the flat device layout and run the
+// deterministic dedup/patch — shared by the PE phase-1 (isize sampling,
+// rescue-task extraction) and phase-2 (finish) entry points so every phase
+// sees identical region lists.
+static void rebuild_dedup(Handle *h, const MemOpt &opt, const uint8_t *seqs,
+                          const int32_t *lens, int n_reads, int stride,
+                          const int64_t *regs_flat, const int32_t *n_regs,
+                          const int32_t *l_rep,
+                          std::vector<std::vector<AlnReg>> *regs) {
+  regs->resize(n_reads);
   size_t off = 0;
   for (int i = 0; i < n_reads; ++i) {
-    regs[i].resize(n_regs[i]);
+    auto &ri = (*regs)[i];
+    ri.resize(n_regs[i]);
     for (int r = 0; r < n_regs[i]; ++r) {
       const int64_t *row = regs_flat + (off + r) * 10;
-      AlnReg &a = regs[i][r];
+      AlnReg &a = ri[r];
       a.rb = row[0]; a.re = row[1]; a.qb = (int)row[2]; a.qe = (int)row[3];
       a.score = (int)row[4]; a.truesc = (int)row[5]; a.w = (int)row[6];
       a.seedcov = (int)row[7]; a.seedlen0 = (int)row[8]; a.rid = (int)row[9];
       a.frac_rep = (double)l_rep[i] / lens[i];
     }
     off += n_regs[i];
-    mem_sort_dedup_patch(*opt, h->idx, seqs + (size_t)i * stride, &regs[i]);
+    mem_sort_dedup_patch(opt, h->idx, seqs + (size_t)i * stride, &ri);
   }
+}
+
+// PE phase 0: per-pair insert-size sample [the sampling loop of
+// bwa: mem_pestat] from device-computed regions. dir_out[p] in 0..3 or -1
+// when the pair is not unique enough; isize_out[p] the insert. The caller
+// histograms these on device and psums across the mesh (SURVEY.md §2.5
+// "cross-node reduction"), then feeds mem_pestat_from_hist.
+int tb_pe_isize(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                const int32_t *lens, int n_reads, int stride,
+                const int64_t *regs_flat, const int32_t *n_regs,
+                const int32_t *l_rep, int32_t *dir_out, int64_t *isize_out) {
+  Handle *h = (Handle *)hp;
+  std::vector<std::vector<AlnReg>> regs;
+  rebuild_dedup(h, *opt, seqs, lens, n_reads, stride, regs_flat, n_regs,
+                l_rep, &regs);
+  int n_pairs = n_reads / 2;
+  mem_pestat_samples(*opt, h->idx.l_pac, regs, dir_out, isize_out);
+  return n_pairs;
+}
+
+// PE phase 1: extract every mate-rescue window the batch could run (a
+// superset; see pe.h) so one batched device local-alignment call covers
+// the whole batch. Returns task count; rows (n, 8) int64 in handle scratch.
+int tb_pe_rescue_tasks(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                       const int32_t *lens, int n_reads, int stride,
+                       const int64_t *regs_flat, const int32_t *n_regs,
+                       const int32_t *l_rep, const int64_t *hist4,
+                       int max_ins_hist, int64_t id0, const int64_t **rows) {
+  Handle *h = (Handle *)hp;
+  std::vector<std::vector<AlnReg>> regs;
+  rebuild_dedup(h, *opt, seqs, lens, n_reads, stride, regs_flat, n_regs,
+                l_rep, &regs);
   PeStat pes[4];
   if (hist4) mem_pestat_from_hist(*opt, hist4, max_ins_hist, pes);
   else mem_pestat(*opt, h->idx.l_pac, regs, pes);
+  h->i64.clear();
+  for (int i = 0; i + 1 < n_reads; i += 2) {
+    std::vector<AlnReg> a2[2] = {regs[i], regs[i + 1]};
+    int l2[2] = {lens[i], lens[i + 1]};
+    mem_rescue_tasks(*opt, h->idx, pes, a2, l2, id0 + (i >> 1), &h->i64);
+  }
+  *rows = h->i64.data();
+  return (int)(h->i64.size() / 8);
+}
+
+// PE finishing on device-computed regions (the production path): same layout
+// as tb_finish_se_sam for regs, but pairs + pestat from a histogram.
+// hist4: 4 x (max_ins+1) int64 insert histogram (already psum'd across the
+// mesh on device) — or null to compute pestat from the regions directly.
+// rsc_tasks/rsc_res (n_rsc rows): device-computed mate-rescue results from
+// phase 1, injected into the scalar replay (null -> scalar rescue SW).
+const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
+                             const int32_t *lens, const char **names,
+                             const char **quals, int n_reads, int stride,
+                             const int64_t *regs_flat, const int32_t *n_regs,
+                             const int32_t *l_rep, const int64_t *hist4,
+                             int max_ins_hist, const int64_t *rsc_tasks,
+                             const int32_t *rsc_res, int n_rsc, int64_t id0,
+                             const char *rg_id, int64_t *out_len) {
+  Handle *h = (Handle *)hp;
+  h->str.clear();
+  std::vector<std::vector<AlnReg>> regs;
+  rebuild_dedup(h, *opt, seqs, lens, n_reads, stride, regs_flat, n_regs,
+                l_rep, &regs);
+  PeStat pes[4];
+  if (hist4) mem_pestat_from_hist(*opt, hist4, max_ins_hist, pes);
+  else mem_pestat(*opt, h->idx.l_pac, regs, pes);
+  RescueInject inj{rsc_tasks, rsc_res, n_rsc};
+  const RescueInject *pinj = rsc_tasks && rsc_res ? &inj : nullptr;
   for (int i = 0; i + 1 < n_reads; i += 2) {
     std::string name2[2] = {names[i], names[i + 1]};
     int l2[2] = {lens[i], lens[i + 1]};
@@ -348,7 +420,7 @@ const char *tb_finish_pe_sam(void *hp, const MemOpt *opt, const uint8_t *seqs,
     std::vector<AlnReg> a2[2] = {regs[i], regs[i + 1]};
     std::string out2[2];
     mem_sam_pe(*opt, h->idx, pes, id0 + (i >> 1), name2, l2, s2, q2, a2,
-               h->rnames, rg_id ? rg_id : "", out2);
+               h->rnames, rg_id ? rg_id : "", out2, pinj, id0 + (i >> 1));
     h->str += out2[0];
     h->str += out2[1];
   }

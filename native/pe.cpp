@@ -10,6 +10,10 @@
 
 namespace tb {
 
+// diagnosing counter: inject-table lookups that missed and fell back to the
+// scalar kernel (0 in correct operation — the extraction is a superset)
+int g_rescue_inject_miss = 0;
+
 static constexpr double MIN_RATIO = 0.8;
 static constexpr int MIN_DIR_CNT = 10;
 static constexpr double MIN_DIR_RATIO = 0.05;
@@ -87,10 +91,13 @@ static void pestat_core(const MemOpt &opt, std::vector<int64_t> isize[4],
       pes[d].failed = 1;
 }
 
-void mem_pestat(const MemOpt &opt, int64_t l_pac,
-                const std::vector<std::vector<AlnReg>> &regs, PeStat pes[4]) {
-  std::vector<int64_t> isize[4];
+void mem_pestat_samples(const MemOpt &opt, int64_t l_pac,
+                        const std::vector<std::vector<AlnReg>> &regs,
+                        int32_t *dir_out, int64_t *isize_out) {
   for (size_t i = 0; i + 1 < regs.size(); i += 2) {
+    size_t p = i / 2;
+    dir_out[p] = -1;
+    isize_out[p] = 0;
     const auto &r0 = regs[i], &r1 = regs[i + 1];
     if (r0.empty() || r1.empty()) continue;
     if (cal_sub(opt, r0) > MIN_RATIO * r0[0].score) continue;
@@ -98,8 +105,22 @@ void mem_pestat(const MemOpt &opt, int64_t l_pac,
     if (r0[0].rid != r1[0].rid) continue;
     int64_t is;
     int dir = mem_infer_dir(l_pac, r0[0].rb, r1[0].rb, &is);
-    if (is >= 1 && is <= opt.max_ins) isize[dir].push_back(is);
+    if (is >= 1 && is <= opt.max_ins) {
+      dir_out[p] = dir;
+      isize_out[p] = is;
+    }
   }
+}
+
+void mem_pestat(const MemOpt &opt, int64_t l_pac,
+                const std::vector<std::vector<AlnReg>> &regs, PeStat pes[4]) {
+  size_t n_pairs = regs.size() / 2;
+  std::vector<int32_t> dir(n_pairs);
+  std::vector<int64_t> is(n_pairs);
+  mem_pestat_samples(opt, l_pac, regs, dir.data(), is.data());
+  std::vector<int64_t> isize[4];
+  for (size_t p = 0; p < n_pairs; ++p)
+    if (dir[p] >= 0) isize[dir[p]].push_back(is[p]);
   pestat_core(opt, isize, pes);
 }
 
@@ -114,9 +135,40 @@ void mem_pestat_from_hist(const MemOpt &opt, const int64_t *hist4,
   pestat_core(opt, isize, pes);
 }
 
+// mate-window geometry for direction r [the rb/re computation inside
+// bwa: mem_matesw], shared by the scalar path and the device-batch task
+// extraction. Returns true when the SW would actually run (same sequence
+// as the anchor and a window long enough to seed).
+static bool matesw_window(const MemOpt &opt, const FMIdx &idx,
+                          const PeStat *pe, const AlnReg &a, int l_ms, int r,
+                          int *is_rev_out, int64_t *rb_out, int64_t *re_out,
+                          int *rid_out, std::vector<uint8_t> *ref) {
+  int64_t l_pac = idx.l_pac;
+  int is_rev = (r >> 1) != (r & 1);  // whether to revcomp the mate
+  int is_larger = !(r >> 1);         // whether the mate has larger coords
+  int64_t rb, re;
+  if (!is_rev) {
+    rb = is_larger ? a.rb + pe->low : a.rb - pe->high;
+    re = (is_larger ? a.rb + pe->high : a.rb - pe->low) + l_ms;
+  } else {
+    rb = (is_larger ? a.rb + pe->low : a.rb - pe->high) - l_ms;
+    re = is_larger ? a.rb + pe->high : a.rb - pe->low;
+  }
+  if (rb < 0) rb = 0;
+  if (re > l_pac << 1) re = l_pac << 1;
+  int rid = -1;
+  if (rb < re) idx.fetch_seq(&rb, (rb + re) >> 1, &re, &rid, ref);
+  *is_rev_out = is_rev;
+  *rb_out = rb;
+  *re_out = re;
+  *rid_out = rid;
+  return rid == a.rid && re - rb >= opt.min_seed_len;
+}
+
 int mem_matesw(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
                const AlnReg &a, int l_ms, const uint8_t *ms,
-               std::vector<AlnReg> *ma) {
+               std::vector<AlnReg> *ma, const RescueInject *inj, int64_t pid,
+               int end_i, int reg_j) {
   int64_t l_pac = idx.l_pac;
   int skip[4], n = 0;
   for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed ? 1 : 0;
@@ -128,33 +180,45 @@ int mem_matesw(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
   if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
   for (int r = 0; r < 4; ++r) {
     if (skip[r]) continue;
-    int is_rev = (r >> 1) != (r & 1);  // whether to revcomp the mate
-    int is_larger = !(r >> 1);         // whether the mate has larger coords
-    std::vector<uint8_t> rev;
-    const uint8_t *seq;
-    if (is_rev) {
-      rev.resize(l_ms);
-      for (int i = 0; i < l_ms; ++i)
-        rev[l_ms - 1 - i] = ms[i] < 4 ? 3 - ms[i] : 4;
-      seq = rev.data();
-    } else seq = ms;
+    int is_rev, rid;
     int64_t rb, re;
-    if (!is_rev) {
-      rb = is_larger ? a.rb + pes[r].low : a.rb - pes[r].high;
-      re = (is_larger ? a.rb + pes[r].high : a.rb - pes[r].low) + l_ms;
-    } else {
-      rb = (is_larger ? a.rb + pes[r].low : a.rb - pes[r].high) - l_ms;
-      re = is_larger ? a.rb + pes[r].high : a.rb - pes[r].low;
-    }
-    if (rb < 0) rb = 0;
-    if (re > l_pac << 1) re = l_pac << 1;
-    int rid = -1;
     std::vector<uint8_t> ref;
-    if (rb < re) idx.fetch_seq(&rb, (rb + re) >> 1, &re, &rid, &ref);
-    if (rid == a.rid && re - rb >= opt.min_seed_len) {
-      AlignResult aln = ksw_align(l_ms, seq, (int)(re - rb), ref.data(), 5,
-                                  opt.mat, opt.o_del, opt.e_del, opt.o_ins,
-                                  opt.e_ins, opt.min_seed_len * opt.a);
+    if (matesw_window(opt, idx, &pes[r], a, l_ms, r, &is_rev, &rb, &re, &rid,
+                      &ref)) {
+      AlignResult aln;
+      bool have = false;
+      if (inj) {  // device-computed result for this (pair, end, reg, dir)
+        for (int t = 0; t < inj->n; ++t) {
+          const int64_t *row = inj->tasks + (size_t)t * 8;
+          if (row[0] == pid && row[1] == end_i && row[2] == reg_j &&
+              row[3] == r) {
+            const int32_t *q = inj->res + (size_t)t * 7;
+            aln.score = q[0];
+            aln.tb = q[1];
+            aln.te = q[2];
+            aln.qb = q[3];
+            aln.qe = q[4];
+            aln.score2 = q[5];
+            aln.te2 = q[6];
+            have = true;
+            break;
+          }
+        }
+      }
+      if (!have) {
+        if (inj) ++g_rescue_inject_miss;
+        std::vector<uint8_t> rev;
+        const uint8_t *seq;
+        if (is_rev) {
+          rev.resize(l_ms);
+          for (int i = 0; i < l_ms; ++i)
+            rev[l_ms - 1 - i] = ms[i] < 4 ? 3 - ms[i] : 4;
+          seq = rev.data();
+        } else seq = ms;
+        aln = ksw_align(l_ms, seq, (int)(re - rb), ref.data(), 5, opt.mat,
+                        opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                        opt.min_seed_len * opt.a);
+      }
       if (aln.score >= opt.min_seed_len && aln.qb >= 0) {
         AlnReg b;
         b.rid = a.rid;
@@ -177,6 +241,43 @@ int mem_matesw(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
     }
   }
   return n;
+}
+
+void mem_rescue_tasks(const MemOpt &opt, const FMIdx &idx,
+                      const PeStat pes[4], const std::vector<AlnReg> a[2],
+                      const int l_seq[2], int64_t pid,
+                      std::vector<int64_t> *out) {
+  if (opt.flag & 0x20) return;  // MEM_F_NO_RESCUE
+  int64_t l_pac = idx.l_pac;
+  for (int i = 0; i < 2; ++i) {
+    // the b[] selection of mem_sam_pe, over the pre-rescue lists
+    std::vector<const AlnReg *> b;
+    for (auto &r : a[i])
+      if (r.score >= a[i][0].score - opt.pen_unpaired) b.push_back(&r);
+    for (size_t j = 0; j < b.size() && (int)j < opt.max_matesw; ++j) {
+      const AlnReg &ar = *b[j];
+      // pre-rescue skip state: later scalar-replay skips are a superset
+      int skip[4];
+      for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed ? 1 : 0;
+      for (auto &m : a[!i]) {
+        int64_t dist;
+        int r = mem_infer_dir(l_pac, ar.rb, m.rb, &dist);
+        if (dist >= pes[r].low && dist <= pes[r].high) skip[r] = 1;
+      }
+      if (skip[0] + skip[1] + skip[2] + skip[3] == 4) continue;
+      for (int r = 0; r < 4; ++r) {
+        if (skip[r]) continue;
+        int is_rev, rid;
+        int64_t rb, re;
+        std::vector<uint8_t> ref;
+        if (matesw_window(opt, idx, &pes[r], ar, l_seq[!i], r, &is_rev, &rb,
+                          &re, &rid, &ref)) {
+          int64_t row[8] = {pid, i, (int64_t)j, r, is_rev, rb, re, rid};
+          out->insert(out->end(), row, row + 8);
+        }
+      }
+    }
+  }
 }
 
 int mem_pair(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
@@ -256,7 +357,8 @@ void mem_sam_pe(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
                 int64_t id, const std::string name[2], const int l_seq[2],
                 const uint8_t *seq[2], const char *qual[2],
                 std::vector<AlnReg> a[2], const std::vector<std::string> &rn,
-                const std::string &rg, std::string out[2]) {
+                const std::string &rg, std::string out[2],
+                const RescueInject *inj, int64_t pid) {
   int z[2] = {0, 0}, subo = 0, n_sub = 0, extra_flag = 1;
   int64_t l_pac = idx.l_pac;
   // ---- mate rescue ----
@@ -267,7 +369,8 @@ void mem_sam_pe(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
         if (r.score >= a[i][0].score - opt.pen_unpaired) b[i].push_back(r);
     for (int i = 0; i < 2; ++i)
       for (size_t j = 0; j < b[i].size() && (int)j < opt.max_matesw; ++j)
-        mem_matesw(opt, idx, pes, b[i][j], l_seq[!i], seq[!i], &a[!i]);
+        mem_matesw(opt, idx, pes, b[i][j], l_seq[!i], seq[!i], &a[!i], inj,
+                   pid, i, (int)j);
   }
   int n_pri[2];
   for (int i = 0; i < 2; ++i) {

@@ -69,6 +69,39 @@ def worker1_sharded(mesh: Mesh, didx, seqs, lens, scfg, ccfg, ecfg, lut=None):
     return fn(didx, seqs, lens, lut)
 
 
+def pe_hist_psum(mesh: Mesh, dirs, inserts, max_ins: int):
+    """Orientation-bucketed insert-size histogram, psum'd over the mesh —
+    the production pestat reduction [bwa: mem_pestat's driver collect ->
+    broadcast, SURVEY.md §2.5 "cross-node reduction"].
+
+    dirs: (P,) int32 in -1..3 (-1 = pair not sampled); inserts: (P,) int.
+    Inputs may be host arrays of any length; they are padded to the mesh
+    size here. Returns the replicated (4, max_ins+1) int64 histogram ready
+    for native mem_pestat_from_hist.
+    """
+    dirs = np.asarray(dirs, np.int32)
+    inserts = np.asarray(inserts, np.int64)
+    n = mesh.devices.size
+    pad = (-len(dirs)) % max(n, 1)
+    if pad:
+        dirs = np.concatenate([dirs, np.full(pad, -1, np.int32)])
+        inserts = np.concatenate([inserts, np.zeros(pad, np.int64)])
+
+    def hist_fn(d, ins):
+        ok = d >= 0
+        idx = (jnp.clip(d, 0, 3) * (max_ins + 1)
+               + jnp.clip(ins, 0, max_ins).astype(jnp.int32))
+        h = jnp.zeros((4 * (max_ins + 1),), jnp.int32).at[idx].add(
+            ok.astype(jnp.int32))
+        return jax.lax.psum(h, READS_AXIS)
+
+    fn = jax.jit(jax.shard_map(hist_fn, mesh=mesh,
+                               in_specs=(P(READS_AXIS), P(READS_AXIS)),
+                               out_specs=P()))
+    out = fn(jnp.asarray(dirs), jnp.asarray(inserts))
+    return np.asarray(out, np.int64).reshape(4, max_ins + 1)
+
+
 def insert_size_psum(mesh: Mesh, inserts, valid, max_ins: int):
     """Cross-chip insert-size histogram — the pestat all-reduce.
 

@@ -145,8 +145,19 @@ def _declare(lib: C.CDLL) -> None:
     lib.tb_finish_pe_sam.argtypes = [
         C.c_void_p, C.POINTER(CMemOpt), u8p, i32p,
         C.POINTER(C.c_char_p), C.POINTER(C.c_char_p), C.c_int, C.c_int,
-        i64p, i32p, i32p, C.c_void_p, C.c_int, C.c_int64, C.c_char_p,
-        C.POINTER(C.c_int64),
+        i64p, i32p, i32p, C.c_void_p, C.c_int, C.c_void_p, C.c_void_p,
+        C.c_int, C.c_int64, C.c_char_p, C.POINTER(C.c_int64),
+    ]
+    lib.tb_pe_isize.restype = C.c_int
+    lib.tb_pe_isize.argtypes = [
+        C.c_void_p, C.POINTER(CMemOpt), u8p, i32p, C.c_int, C.c_int,
+        i64p, i32p, i32p, i32p, i64p,
+    ]
+    lib.tb_pe_rescue_tasks.restype = C.c_int
+    lib.tb_pe_rescue_tasks.argtypes = [
+        C.c_void_p, C.POINTER(CMemOpt), u8p, i32p, C.c_int, C.c_int,
+        i64p, i32p, i32p, C.c_void_p, C.c_int, C.c_int64,
+        C.POINTER(C.POINTER(C.c_int64)),
     ]
 
 

@@ -86,3 +86,61 @@ def ksw_align_batch(query, qlen, target, tlen, minsc, valid,
     qb = jnp.where(need, qe - rqe, -1)
     tb = jnp.where(need, te - rte, -1)
     return jnp.stack([score, tb, te, qb, qe, score2, te2], axis=1)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9))
+def _rescue_batch_device(didx, seqs, lens, mate_row, is_rev, rb, wlen,
+                         T, minsc, kw):
+    """Assemble + run all rescue windows of a batch on device.
+
+    seqs: (B, L) the batch reads; mate_row/is_rev/rb/wlen: (N,) task arrays
+    from native mem_rescue_tasks. The query is the mate read (revcomp'd on
+    device when the orientation demands it); the target is the predicted
+    text window. Returns (N, 7) int32 ksw_align rows.
+    """
+    from ..ops.window import text_window_asc
+    from ..seed.lut import _shift_rows
+    seqs = seqs.astype(jnp.int32)
+    L = seqs.shape[1]
+    q0 = seqs[mate_row]
+    la = lens[mate_row].astype(jnp.int32)
+    flipped = q0[:, ::-1]
+    rq = _shift_rows(flipped, L - la, L)
+    rq = jnp.where(rq <= 3, 3 - rq, 4)
+    q = jnp.where(is_rev[:, None] != 0, rq, q0)
+    q = jnp.where(jnp.arange(L, dtype=jnp.int32)[None, :] < la[:, None],
+                  q, 4)
+    t = text_window_asc(didx, rb, T)
+    t = jnp.where(jnp.arange(T, dtype=jnp.int32)[None, :] < wlen[:, None],
+                  t, 4)
+    return ksw_align_batch(q, la, t, wlen,
+                           jnp.full(q.shape[0], minsc, jnp.int32),
+                           jnp.ones(q.shape[0], bool), *kw)
+
+
+def run_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
+                     use_pallas):
+    """Host driver: task rows (n, 8) int64 (pair, end, j, dir, is_rev, rb,
+    re, rid) -> (n, 7) int32 ksw_align results via one device call."""
+    if len(tasks) == 0:
+        return np.zeros((0, 7), np.int32)
+    n = len(tasks)
+    pad = (-n) % 64    # bound the distinct jit shapes
+    if pad:
+        tasks = np.concatenate(
+            [tasks, np.tile(tasks[-1:], (pad, 1))], axis=0)
+    p_local = (tasks[:, 0] - id0).astype(np.int64)
+    mate_row = (2 * p_local + (1 - tasks[:, 1])).astype(np.int32)
+    is_rev = tasks[:, 4].astype(np.int32)
+    rb = tasks[:, 5]
+    wlen = (tasks[:, 6] - tasks[:, 5]).astype(np.int32)
+    T = max(256, int(-(-int(wlen.max()) // 256)) * 256)
+    kw = (opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, opt.a, opt.b,
+          use_pallas)
+    out = _rescue_batch_device(
+        didx, jnp.asarray(batch_seqs), jnp.asarray(batch_lens),
+        jnp.asarray(mate_row), jnp.asarray(is_rev),
+        jnp.asarray(rb.astype(np.int64 if didx.pos_dtype == jnp.int64
+                              else np.int32)),
+        jnp.asarray(wlen), T, int(opt.min_seed_len * opt.a), kw)
+    return np.asarray(out, np.int32)[:n]

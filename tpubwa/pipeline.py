@@ -79,6 +79,7 @@ class Aligner:
                                   cache=lut_cache)
                     if seed_impl == "lut" else None)
         self._packed_fn = None
+        self._mesh = None       # lazy 1-device mesh for the pestat psum
         # running workload-honesty counters (reset freely by callers):
         # fallback_reads = reads realigned by the host oracle after a
         # device-cap overflow — the benchmark reports this rate
@@ -270,16 +271,54 @@ class Aligner:
     def align_pe(self, batch: ReadBatch, id0: int = 0) -> str:
         """Paired-end SAM for an interleaved batch (pair i = rows 2i, 2i+1).
 
-        Device worker1 computes per-end regions; reads that overflowed the
-        device caps get host-computed regions (identical semantics); the
-        native finisher then runs dedup + pestat + mate rescue + pairing +
-        SAM [ref: FastMap.memPairEndMapping; bwa: mem_sam_pe].
+        The TPU-native PE flow [ref: FastMap.memPairEndMapping;
+        bwa: mem_sam_pe]:
+          1. device worker1 per end (overflowed reads get host-computed
+             regions, identical semantics);
+          2. per-pair insert samples (native) -> orientation histogram
+             psum'd over the device mesh -> pestat from the histogram
+             (the reference's driver collect+broadcast as one collective);
+          3. all mate-rescue SW windows of the batch in ONE device
+             local-alignment call (pair/rescue.py);
+          4. native pairing/flags/TLEN/SAM replay with the device results
+             injected.
         """
-        opt_pe = self.opt.replace(flag=self.opt.flag | MemOptions.F_PE)
         seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
         lens = jnp.asarray(batch.lens)
         buf = np.asarray(self.worker1_packed(seqs, lens))
+        return self._finish_pe_buf(batch, buf, id0)
+
+    def align_pe_stream(self, batches, id0: int = 0, depth: int = 2):
+        """Pipelined PE alignment (the align_se_stream analog): worker1 for
+        batch i+1 is in flight while the host finishes batch i (the rescue
+        kernel call interleaves on-device). Yields SAM text per batch."""
+        pending: list[tuple[ReadBatch, object, int]] = []
+        n = id0
+        for b in batches:
+            seqs = jnp.asarray(b.seqs)
+            lens = jnp.asarray(b.lens)
+            pending.append((b, self.worker1_packed(seqs, lens), n))
+            n += b.n // 2
+            if len(pending) >= depth:
+                bb, dev, i0 = pending.pop(0)
+                yield self._finish_pe_buf(bb, np.asarray(dev), i0)
+        for bb, dev, i0 in pending:
+            yield self._finish_pe_buf(bb, np.asarray(dev), i0)
+
+    def _pe_mesh(self):
+        if self._mesh is None:
+            from .dist.mesh import make_mesh
+            self._mesh = make_mesh(1)
+        return self._mesh
+
+    def _finish_pe_buf(self, batch: ReadBatch, buf: np.ndarray,
+                       id0: int) -> str:
+        from .dist.mesh import pe_hist_psum
+        from .pair.rescue import run_rescue_tasks
+        opt_pe = self.opt.replace(flag=self.opt.flag | MemOptions.F_PE)
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
+        self.stats["reads"] += batch.n
+        self.stats["fallback_reads"] += int(ovf.sum())
         if ovf.any():
             offs = np.concatenate([[0], np.cumsum(n)])
             parts: list[np.ndarray] = []
@@ -295,19 +334,54 @@ class Aligner:
             flat = (np.concatenate(parts, axis=0) if parts
                     else np.empty((0, len(REG_FIELDS)), np.int64))
         lib = self.oracle._lib
+        copt = to_copt(opt_pe)
         seqs_h = np.ascontiguousarray(batch.seqs, dtype=np.uint8)
         lens_h = np.ascontiguousarray(batch.lens, dtype=np.int32)
+        flat_h = np.ascontiguousarray(flat.astype(np.int64))
+        n_h = np.ascontiguousarray(n.astype(np.int32))
+        lrep_h = np.ascontiguousarray(l_rep.astype(np.int32))
+        stride = seqs_h.shape[1]
+
+        # ---- pestat: native per-pair samples -> device histogram psum ----
+        n_pairs = batch.n // 2
+        dirs = np.zeros(max(n_pairs, 1), np.int32)
+        isz = np.zeros(max(n_pairs, 1), np.int64)
+        lib.tb_pe_isize(self.oracle._h, C.byref(copt), seqs_h, lens_h,
+                        batch.n, stride, flat_h, n_h, lrep_h, dirs, isz)
+        hist = pe_hist_psum(self._pe_mesh(), dirs[:n_pairs], isz[:n_pairs],
+                            self.opt.max_ins)
+        hist_h = np.ascontiguousarray(hist, dtype=np.int64)
+
+        # ---- mate rescue: one batched device local-alignment call ----
+        rowsp = C.POINTER(C.c_int64)()
+        n_t = lib.tb_pe_rescue_tasks(
+            self.oracle._h, C.byref(copt), seqs_h, lens_h, batch.n, stride,
+            flat_h, n_h, lrep_h, hist_h.ctypes.data_as(C.c_void_p),
+            self.opt.max_ins, id0, C.byref(rowsp))
+        self.stats["rescue_tasks"] = self.stats.get("rescue_tasks", 0) + n_t
+        if n_t:
+            tasks = np.ctypeslib.as_array(
+                rowsp, shape=(n_t * 8,)).reshape(n_t, 8).copy()
+            res = run_rescue_tasks(self.didx, batch.seqs, batch.lens,
+                                   tasks, id0, self.opt,
+                                   self.ecfg.use_pallas)
+            tasks_h = np.ascontiguousarray(tasks)
+            res_h = np.ascontiguousarray(res)
+            tasks_p = tasks_h.ctypes.data_as(C.c_void_p)
+            res_p = res_h.ctypes.data_as(C.c_void_p)
+        else:
+            tasks_p = res_p = None
+
         names = (C.c_char_p * batch.n)(*[s.encode() for s in batch.names])
         quals = (C.c_char_p * batch.n)(
             *[(q or "").encode() for q in batch.quals])
         out_len = C.c_int64(0)
         ptr = lib.tb_finish_pe_sam(
-            self.oracle._h, C.byref(to_copt(opt_pe)), seqs_h, lens_h, names,
-            quals, batch.n, seqs_h.shape[1],
-            np.ascontiguousarray(flat.astype(np.int64)),
-            np.ascontiguousarray(n.astype(np.int32)),
-            np.ascontiguousarray(l_rep.astype(np.int32)),
-            None, 0, id0, self.rg_id.encode(), C.byref(out_len))
+            self.oracle._h, C.byref(copt), seqs_h, lens_h, names,
+            quals, batch.n, stride, flat_h, n_h, lrep_h,
+            hist_h.ctypes.data_as(C.c_void_p), self.opt.max_ins,
+            tasks_p, res_p, n_t, id0, self.rg_id.encode(),
+            C.byref(out_len))
         return C.string_at(ptr, out_len.value).decode()
 
     def _finish_run(self, batch, flat, n, l_rep, i, j, id0) -> str:

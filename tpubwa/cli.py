@@ -59,6 +59,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write per-batch SAM shards + resume manifest here "
                          "instead of one file; re-running skips completed "
                          "batches")
+    pa.add_argument("--multihost", action="store_true",
+                    help="multi-host run via jax.distributed (env: "
+                         "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                         "JAX_PROCESS_ID): input FASTQ files are split "
+                         "round-robin per host, output goes to a per-host "
+                         "shard (merge with `tpubwa merge`). PE runs must "
+                         "give every host the same batch count (the pestat "
+                         "reduction is lockstep)")
+    pa.add_argument("--id0", type=int, default=0,
+                    help="starting global read index (deterministic "
+                         "tie-break ids for sharded multi-host runs)")
 
     ps = sub.add_parser("sort", help="coordinate-sort a SAM file")
     ps.add_argument("sam")
@@ -106,6 +117,18 @@ def cmd_align(a) -> int:
     opt = opts_from_args(a)
     if a.paired:
         opt = opt.replace(flag=opt.flag | MemOptions.F_PE)
+
+    if a.multihost:
+        from .dist import multihost
+        pid, nproc = multihost.initialize()
+        a.fastq = [str(p) for p in
+                   multihost.host_shard_of(a.fastq, pid, nproc)]
+        if a.output != "-":
+            a.output = str(multihost.shard_output_path(a.output, pid))
+        print(f"[tpubwa align] multihost process {pid}/{nproc}: "
+              f"{len(a.fastq)} input file(s) -> {a.output}",
+              file=sys.stderr)
+
     idx = FMIndex.load(a.index)
     aln = Aligner(idx, opt, rg_id=a.read_group)
 
@@ -146,7 +169,7 @@ def cmd_align(a) -> int:
                 if pend:
                     yield batch_reads(pend)
 
-            for sam in aln.align_se_stream(batch_iter()):
+            for sam in aln.align_se_stream(batch_iter(), id0=a.id0):
                 out.write(sam)
                 n_done += sam.count("\n")
                 batch_no += 1
@@ -155,11 +178,13 @@ def cmd_align(a) -> int:
                   f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
             if out is not sys.stdout:
                 out.close()
+            _mh_done(a)
             return 0
 
         pending = []
 
         def run_batch(batch, id0):
+            id0 += a.id0
             if a.paired:
                 if a.oracle:
                     sam, _ = aln.oracle.align_pe(batch, opt, id0=id0 // 2,
@@ -211,7 +236,16 @@ def cmd_align(a) -> int:
     dt = time.time() - t0
     print(f"[tpubwa align] total {n_done} reads in {dt:.1f}s "
           f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+    _mh_done(a)
     return 0
+
+
+def _mh_done(a) -> None:
+    """Hold multihost processes at a barrier before exit so hosts with
+    uneven batch/compile times reach jax.distributed's shutdown together."""
+    if getattr(a, "multihost", False):
+        from .dist.multihost import barrier
+        barrier("align_done")
 
 
 def cmd_sort(a) -> int:

@@ -27,8 +27,12 @@ from ..seed.lut import LutSeedConfig, collect_smems_lut
 READS_AXIS = "reads"
 
 
-def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, axis: str = READS_AXIS,
+              local: bool = False) -> Mesh:
+    """local=True restricts to this process's addressable devices — required
+    for per-host meshes in a jax.distributed run (a mesh containing another
+    host's devices cannot materialize results here)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))

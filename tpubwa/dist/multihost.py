@@ -54,3 +54,65 @@ def shard_output_path(base: str | Path, process_id: int) -> Path:
     """Per-host SAM shard path; merge with `tpubwa merge` on host 0."""
     base = Path(base)
     return base.with_name(f"{base.stem}.host{process_id:04d}{base.suffix}")
+
+
+def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
+    """KV-store barrier across processes (no-op single-process). Used at
+    the end of a --multihost run so hosts with very different batch/compile
+    times reach jax.distributed's shutdown barrier together."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    pid, n = jax.process_index(), jax.process_count()
+    client.key_value_set(f"tpubwa/barrier/{name}/{pid}", "1")
+    for p in range(n):
+        client.blocking_key_value_get(f"tpubwa/barrier/{name}/{p}",
+                                      timeout_ms)
+
+
+_hist_seq = 0
+
+
+def hist_allreduce(hist, timeout_ms: int = 600_000):
+    """Sum per-host pestat histograms across processes — the DCN leg of the
+    reference's driver collect+broadcast [ref: FastMap.memPairEndMapping
+    pestat collect; SURVEY.md §5.8 "pestat collect+broadcast"].
+
+    No-op in a single-process run. In a multi-process run every host must
+    call this once per batch (lockstep), which the CLI's --multihost input
+    sharding guarantees by splitting work per batch index.
+
+    Rides the jax.distributed coordinator's key-value store rather than a
+    device collective: the histogram is ~320 KB once per batch, hosts can
+    be minutes apart (first-batch compile skew), and the coordinator is the
+    exact analog of the reference's Spark driver for this reduction.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return hist
+    import base64
+
+    import numpy as np
+
+    from jax._src import distributed
+
+    global _hist_seq
+    seq = _hist_seq
+    _hist_seq += 1
+    client = distributed.global_state.client
+    pid, n = jax.process_index(), jax.process_count()
+    h = np.ascontiguousarray(hist, dtype=np.int64)
+    client.key_value_set(f"tpubwa/pestat/{seq}/{pid}",
+                         base64.b64encode(h.tobytes()).decode())
+    total = np.zeros_like(h)
+    for p in range(n):
+        raw = client.blocking_key_value_get(f"tpubwa/pestat/{seq}/{p}",
+                                            timeout_ms)
+        total += np.frombuffer(base64.b64decode(raw),
+                               np.int64).reshape(h.shape)
+    return total

@@ -308,7 +308,7 @@ class Aligner:
     def _pe_mesh(self):
         if self._mesh is None:
             from .dist.mesh import make_mesh
-            self._mesh = make_mesh(1)
+            self._mesh = make_mesh(1, local=True)
         return self._mesh
 
     def _finish_pe_buf(self, batch: ReadBatch, buf: np.ndarray,
@@ -350,6 +350,8 @@ class Aligner:
                         batch.n, stride, flat_h, n_h, lrep_h, dirs, isz)
         hist = pe_hist_psum(self._pe_mesh(), dirs[:n_pairs], isz[:n_pairs],
                             self.opt.max_ins)
+        from .dist.multihost import hist_allreduce
+        hist = hist_allreduce(hist)   # DCN leg; no-op single-process
         hist_h = np.ascontiguousarray(hist, dtype=np.int64)
 
         # ---- mate rescue: one batched device local-alignment call ----

@@ -1,6 +1,12 @@
 """Anchor-based SMEM seeding — bwa's own algorithm, batched as a lockstep
 state machine.
 
+STATUS: differential-testing oracle. Production seeding is seed/lut.py
+(``Aligner(seed_impl="lut")``, the default); this module is kept because it
+implements the SAME semantics by a structurally different algorithm, so the
+cross-check tests (tests/test_anchor_seed.py, tests/test_device_seed.py)
+catch formulation bugs that a single implementation cannot.
+
 Exact port of [bwa: bwt.c :: bwt_smem1a (max_intv=0); bwamem.c ::
 mem_collect_intv]: per read, anchors advance to the end of the longest
 forward match; each anchor runs a bidirectional forward pass (collecting the

@@ -1,5 +1,10 @@
 """Device SMEM seeding: per-end backward search (see ARCHITECTURE.md).
 
+STATUS: differential-testing oracle (and `_emit_mask` donor for seed/lut.py).
+Production seeding is seed/lut.py; this first-generation walk is kept as an
+independent implementation of the b_v(j) formulation for cross-checks in
+tests/test_device_seed.py.
+
 Replaces the reference's per-read sequential ``bwt_smem1`` anchor loop
 [ref: worker1/MemChain.scala :: generateChains; bwa: bwt.c :: bwt_smem1a,
 bwamem.c :: mem_collect_intv] with an equivalent massively-parallel

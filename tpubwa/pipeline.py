@@ -35,12 +35,31 @@ REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
 
 
 def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
-                      max_chains=32, max_regs=32, seed_impl="lut"):
+                      max_chains=32, max_regs=32, seed_impl="lut",
+                      text_len: int | None = None):
     if seed_impl == "lut":
+        # dense-walk budgets scale with the genome: the k-mer jump table is
+        # capped at k0 <= 12, so on a large text most length-k0 intervals
+        # are still multi-occurrence and the walk must (a) run more
+        # full-width lockstep steps before compacting (until the random
+        # k-mer existence probability collapses, ~log4(text) bases) and
+        # (b) leave room for the repeat-family lanes that survive
+        # indefinitely. Budgets verified by scripts/diag_scale.py.
+        if text_len is None:
+            text_len = 1 << 23
+        import math
+        lg4 = math.ceil(math.log(max(text_len, 4)) / math.log(4.0))
+        k0 = max(1, min(12, opt.min_seed_len, lg4 + 1))
+        fm_full = max(3, lg4 - k0 + 2)
+        fm_dense = 32 if text_len < 1 << 26 else \
+            (16 if text_len < 1 << 30 else 8)
+        offdiag_dense = 8 if text_len < 1 << 26 else 4
         scfg = LutSeedConfig(max_smems=max_smems,
                              min_seed_len=opt.min_seed_len,
                              split_len=opt.split_len,
-                             split_width=opt.split_width)
+                             split_width=opt.split_width,
+                             fm_full=fm_full, fm_dense=fm_dense,
+                             offdiag_dense=offdiag_dense)
     else:
         scfg = AnchorSeedConfig(max_smems=max_smems,
                                 min_seed_len=opt.min_seed_len,
@@ -74,7 +93,7 @@ class Aligner:
         self.oracle = Oracle(idx)
         self.seed_impl = seed_impl
         self.scfg, self.ccfg, self.ecfg = configs_from_opts(
-            opt, seed_impl=seed_impl, **caps)
+            opt, seed_impl=seed_impl, text_len=2 * int(idx.l_pac), **caps)
         self.lut = (KmerLUT.build(idx, min_seed_len=opt.min_seed_len,
                                   cache=lut_cache)
                     if seed_impl == "lut" else None)
@@ -214,12 +233,65 @@ class Aligner:
         st["l_rep"] = seeds["l_rep"]
         return st
 
+    # read-length bucket granularity (SURVEY.md §5.7 "read-length bucketing
+    # so padding waste stays bounded"): a mixed-length batch is split into
+    # per-bucket device calls, each padded to a multiple of BUCKET lanes,
+    # and the outputs are re-interleaved into input order before finishing
+    BUCKET = 64
+
     def align_se(self, batch: ReadBatch, id0: int = 0) -> str:
-        """Returns SAM body text for the batch (deterministic in id0)."""
-        seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
-        lens = jnp.asarray(batch.lens)
-        return self._finish_se_buf(
-            batch, np.asarray(self.worker1_packed(seqs, lens)), id0)
+        """Returns SAM body text for the batch (deterministic in id0).
+
+        Mixed-length batches route through per-bucket device calls; padding
+        waste per read is < BUCKET lanes instead of (max_len - len).
+        """
+        return self._finish_se_dispatched(batch, self._dispatch_se(batch),
+                                          id0)
+
+    def _dispatch_se(self, batch: ReadBatch):
+        """Issue (async) worker1 device calls for a batch. Returns a list
+        of (rows, device_buffer, n_sub): one entry for a uniform batch,
+        one per length bucket for a mixed batch."""
+        lens = np.asarray(batch.lens)
+        W = batch.seqs.shape[1]
+        wb = min(int(np.max(-(-lens // self.BUCKET)) * self.BUCKET), W) \
+            if batch.n else W
+        if batch.n == 0 or wb >= W or np.min(lens) > wb - self.BUCKET:
+            # uniform enough: one full-width call (also the fast path the
+            # fixed-length benchmarks compile once)
+            seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
+            return [(None, self.worker1_packed(seqs, jnp.asarray(lens)),
+                     batch.n)]
+        parts = []
+        wbs = np.minimum((-(-lens // self.BUCKET)) * self.BUCKET, W)
+        for w in sorted(set(int(x) for x in wbs)):
+            rows = np.flatnonzero(wbs == w)
+            pad = (-len(rows)) % 128      # bound distinct jit shapes
+            rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])
+            seqs = jnp.asarray(np.ascontiguousarray(batch.seqs[rsel, :w]))
+            parts.append((rows, self.worker1_packed(
+                seqs, jnp.asarray(lens[rsel])), len(rsel)))
+        return parts
+
+    def _finish_se_dispatched(self, batch: ReadBatch, parts, id0: int):
+        if len(parts) == 1 and parts[0][0] is None:
+            return self._finish_se_buf(batch, np.asarray(parts[0][1]), id0)
+        B = batch.n
+        n = np.zeros(B, np.int32)
+        ovf = np.zeros(B, bool)
+        l_rep = np.zeros(B, np.int32)
+        per_read: list = [None] * B
+        for rows, dev, n_sub in parts:
+            ns, ovfs, lrs, flats = self._unpack_host(np.asarray(dev), n_sub)
+            offs = np.concatenate([[0], np.cumsum(ns)])
+            for k, r in enumerate(rows):
+                n[r] = ns[k]
+                ovf[r] = ovfs[k]
+                l_rep[r] = lrs[k]
+                per_read[r] = flats[offs[k]:offs[k + 1]]
+        flat = (np.concatenate(per_read, axis=0) if B
+                else np.empty((0, len(REG_FIELDS)), np.int64))
+        return self._finish_se_parts(batch, n, ovf, l_rep, flat, id0)
 
     def align_se_stream(self, batches, id0: int = 0, depth: int = 2):
         """Pipelined SE alignment over an iterable of ReadBatches.
@@ -232,19 +304,21 @@ class Aligner:
         pending: list[tuple[ReadBatch, object, int]] = []
         n = id0
         for b in batches:
-            seqs = jnp.asarray(b.seqs)  # uint8 over the wire
-            lens = jnp.asarray(b.lens)
-            pending.append((b, self.worker1_packed(seqs, lens), n))
+            pending.append((b, self._dispatch_se(b), n))
             n += b.n
             if len(pending) >= depth:
-                bb, dev, i0 = pending.pop(0)
-                yield self._finish_se_buf(bb, np.asarray(dev), i0)
-        for bb, dev, i0 in pending:
-            yield self._finish_se_buf(bb, np.asarray(dev), i0)
+                bb, parts, i0 = pending.pop(0)
+                yield self._finish_se_dispatched(bb, parts, i0)
+        for bb, parts, i0 in pending:
+            yield self._finish_se_dispatched(bb, parts, i0)
 
     def _finish_se_buf(self, batch: ReadBatch, buf: np.ndarray,
                        id0: int) -> str:
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
+        return self._finish_se_parts(batch, n, ovf, l_rep, flat, id0)
+
+    def _finish_se_parts(self, batch: ReadBatch, n, ovf, l_rep, flat,
+                         id0: int) -> str:
         offs = np.concatenate([[0], np.cumsum(n)])
         self.stats["reads"] += batch.n
         self.stats["fallback_reads"] += int(ovf.sum())

@@ -14,6 +14,7 @@ Maps to the reference's FastMap.memSingleEndMapping -> worker1 -> worker2 flow
 from __future__ import annotations
 
 import ctypes as C
+import dataclasses
 
 import numpy as np
 import jax
@@ -137,63 +138,69 @@ class Aligner:
         and is realigned by the oracle, so packing never affects output.
         """
         if self._packed_fn is None:
-            R = self.ecfg.max_regs
-            assert R <= 63
-
-            def packed(didx, lut, seqs, lens):
-                seqs = seqs.astype(jnp.int32)   # uint8 over the wire
-                st = self.worker1_device_inner(didx, seqs, lens, lut)
-                B = seqs.shape[0]
-                cap = self.CAP_FACTOR * B
-                rb, re = st["rb"], st["re"]
-                qb, qe = st["qb"], st["qe"]
-                score, truesc = st["score"], st["truesc"]
-                w, seedcov = st["w"], st["seedcov"]
-                seedlen0, rid = st["seedlen0"], st["rid"]
-                ridx = jnp.arange(R, dtype=jnp.int32)[None, :]
-                valid0 = ridx < st["n"][:, None]
-
-                def inrange(v, hi):
-                    return (v >= 0) & (v <= hi)
-
-                ok = (inrange(re - rb, 0xFFFF) & inrange(qb, 0x7FFF)
-                      & inrange(qe - qb, 0xFFFF) & inrange(score, 0x7FFF)
-                      & inrange(truesc, 0xFFFF) & inrange(w, 0x7FFF)
-                      & inrange(seedcov, 0x3FF) & inrange(seedlen0, 0x3FF)
-                      & inrange(rid, 0x7FF))
-                ovf = st["overflow"] | jnp.any(valid0 & ~ok, axis=1)
-                ne = jnp.where(ovf, 0, st["n"])
-                off = jnp.cumsum(ne) - ne
-                capovf = off + ne > cap
-                ovf = ovf | capovf
-                ne = jnp.where(capovf, 0, ne)
-
-                if rb.dtype == jnp.int64:
-                    rb_lo = (rb & 0xFFFFFFFF).astype(jnp.uint32) \
-                        .astype(jnp.int32)   # wraps: reinterpret low word
-                    rb_hi = (rb >> 32).astype(jnp.int32)
-                else:
-                    rb_lo = rb
-                    rb_hi = jnp.zeros_like(rb)
-                words = jnp.stack([
-                    rb_lo,
-                    (re - rb).astype(jnp.int32) | (qb << 16),
-                    (qe - qb) | (score << 16),
-                    truesc | (w << 16),
-                    seedcov | (seedlen0 << 10) | (rid << 20),
-                    rb_hi,
-                ], axis=-1).reshape(B * R, 6)
-                valid = (ridx < ne[:, None]).reshape(-1)
-                csum = jnp.cumsum(valid.astype(jnp.int32))
-                src = jnp.searchsorted(csum, jnp.arange(1, cap + 1,
-                                                        dtype=jnp.int32))
-                rows = jnp.where((src < B * R)[:, None],
-                                 words[jnp.clip(src, 0, B * R - 1)], 0)
-                counts = (ne | ovf.astype(jnp.int32) << 6
-                          | st["l_rep"] << 7)
-                return jnp.concatenate([counts, rows.reshape(-1)])
-            self._packed_fn = jax.jit(packed)
+            self._packed_fn = self._make_packed(self.scfg, self.ccfg,
+                                                self.ecfg)
         return self._packed_fn(self.didx, self.lut, seqs, lens)
+
+    def _make_packed(self, scfg, ccfg, ecfg):
+        R = ecfg.max_regs
+        assert R <= 63
+
+        def packed(didx, lut, seqs, lens):
+            seqs = seqs.astype(jnp.int32)   # uint8 over the wire
+            st = self._device_inner(didx, seqs, lens, lut, scfg, ccfg,
+                                    ecfg)
+            B = seqs.shape[0]
+            cap = self.CAP_FACTOR * B
+            rb, re = st["rb"], st["re"]
+            qb, qe = st["qb"], st["qe"]
+            score, truesc = st["score"], st["truesc"]
+            w, seedcov = st["w"], st["seedcov"]
+            seedlen0, rid = st["seedlen0"], st["rid"]
+            ridx = jnp.arange(R, dtype=jnp.int32)[None, :]
+            valid0 = ridx < st["n"][:, None]
+
+            def inrange(v, hi):
+                return (v >= 0) & (v <= hi)
+
+            ok = (inrange(re - rb, 0xFFFF) & inrange(qb, 0x7FFF)
+                  & inrange(qe - qb, 0xFFFF) & inrange(score, 0x7FFF)
+                  & inrange(truesc, 0xFFFF) & inrange(w, 0x7FFF)
+                  & inrange(seedcov, 0x3FF) & inrange(seedlen0, 0x3FF)
+                  & inrange(rid, 0x7FF))
+            ovf = st["overflow"] | jnp.any(valid0 & ~ok, axis=1)
+            ne = jnp.where(ovf, 0, st["n"])
+            off = jnp.cumsum(ne) - ne
+            capovf = off + ne > cap
+            ovf = ovf | capovf
+            ne = jnp.where(capovf, 0, ne)
+
+            if rb.dtype == jnp.int64:
+                rb_lo = (rb & 0xFFFFFFFF).astype(jnp.uint32) \
+                    .astype(jnp.int32)   # wraps: reinterpret low word
+                rb_hi = (rb >> 32).astype(jnp.int32)
+            else:
+                rb_lo = rb
+                rb_hi = jnp.zeros_like(rb)
+            words = jnp.stack([
+                rb_lo,
+                (re - rb).astype(jnp.int32) | (qb << 16),
+                (qe - qb) | (score << 16),
+                truesc | (w << 16),
+                seedcov | (seedlen0 << 10) | (rid << 20),
+                rb_hi,
+            ], axis=-1).reshape(B * R, 6)
+            valid = (ridx < ne[:, None]).reshape(-1)
+            csum = jnp.cumsum(valid.astype(jnp.int32))
+            src = jnp.searchsorted(csum, jnp.arange(1, cap + 1,
+                                                    dtype=jnp.int32))
+            rows = jnp.where((src < B * R)[:, None],
+                             words[jnp.clip(src, 0, B * R - 1)], 0)
+            counts = (ne | ovf.astype(jnp.int32) << 6
+                      | st["l_rep"] << 7)
+            return jnp.concatenate([counts, rows.reshape(-1)])
+
+        return jax.jit(packed)
 
     def _unpack_host(self, buf: np.ndarray, B: int):
         """Inverse of worker1_packed's packing: returns (n, ovf, l_rep,
@@ -218,20 +225,72 @@ class Aligner:
                          seedlen0, rid], axis=1).astype(np.int64)
         return ne.astype(np.int32), ovf, l_rep.astype(np.int32), flat
 
-    def _collect_smems(self, didx, seqs, lens, lut=None):
+    def _collect_smems(self, didx, seqs, lens, lut=None, scfg=None):
+        scfg = scfg or self.scfg
         if self.seed_impl == "lut":
             return collect_smems_lut(didx, lut if lut is not None
-                                     else self.lut, seqs, lens, self.scfg)
-        return collect_smems_anchor(didx, seqs, lens, self.scfg)
+                                     else self.lut, seqs, lens, scfg)
+        return collect_smems_anchor(didx, seqs, lens, scfg)
 
-    def worker1_device_inner(self, didx, seqs, lens, lut=None):
-        smems = self._collect_smems(didx, seqs, lens, lut)
-        seeds = seeds_from_smems(didx, smems, self.ccfg)
-        ch = chain_seeds(didx, seeds, self.ccfg)
-        flt = chain_filter(ch, self.ccfg)
-        st = extend_chains(didx, seqs, lens, seeds, ch, self.ecfg, flt)
+    def _device_inner(self, didx, seqs, lens, lut, scfg, ccfg, ecfg):
+        smems = self._collect_smems(didx, seqs, lens, lut, scfg)
+        seeds = seeds_from_smems(didx, smems, ccfg)
+        ch = chain_seeds(didx, seeds, ccfg)
+        flt = chain_filter(ch, ccfg)
+        st = extend_chains(didx, seqs, lens, seeds, ch, ecfg, flt)
         st["l_rep"] = seeds["l_rep"]
         return st
+
+    def worker1_device_inner(self, didx, seqs, lens, lut=None):
+        return self._device_inner(didx, seqs, lens, lut, self.scfg,
+                                  self.ccfg, self.ecfg)
+
+    # ---- tier-2: big-caps device path for reads that overflow the fast
+    # tier's static caps (repeat-dense reads: a single max_occ=500 SMEM
+    # yields 500 seeds). Only reads overflowing BOTH tiers reach the host
+    # oracle, so the common case stays on the small fast kernels.
+    TIER2_ROWS = 512          # sub-batch row quantum for the big tier
+
+    def _packed_big_fn(self):
+        if getattr(self, "_packed_big", None) is None:
+            big = dict(max_smems=63, max_seeds=640, max_chains=64,
+                       max_regs=63)
+            scfg, ccfg, ecfg = configs_from_opts(
+                self.opt, seed_impl=self.seed_impl,
+                text_len=2 * int(self.idx.l_pac), **big)
+            if isinstance(scfg, LutSeedConfig):
+                scfg = dataclasses.replace(scfg, fm_dense=4,
+                                           offdiag_dense=2, r2_rows=1)
+            ecfg = dataclasses.replace(ecfg, tail_rows=1)
+            self._packed_big = self._make_packed(scfg, ccfg, ecfg)
+        return self._packed_big
+
+    def _tier2(self, batch: ReadBatch, n, ovf, l_rep, flat):
+        """Re-run tier-1-overflow reads through the big-caps device path
+        and merge results; returns updated (n, ovf, l_rep, flat)."""
+        rows = np.flatnonzero(ovf)
+        if len(rows) == 0:
+            return n, ovf, l_rep, flat
+        pad = (-len(rows)) % self.TIER2_ROWS
+        rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])
+        seqs = jnp.asarray(np.ascontiguousarray(batch.seqs[rsel]))
+        lens2 = jnp.asarray(np.ascontiguousarray(batch.lens[rsel]))
+        buf = np.asarray(self._packed_big_fn()(
+            self.didx, self.lut, seqs, lens2))
+        n2, ovf2, lrep2, flat2 = self._unpack_host(buf, len(rsel))
+        offs2 = np.concatenate([[0], np.cumsum(n2)])
+        offs = np.concatenate([[0], np.cumsum(n)])
+        per_read: list = []
+        for b in range(batch.n):
+            per_read.append(flat[offs[b]:offs[b + 1]])
+        for k, r in enumerate(rows):
+            n[r] = n2[k]
+            ovf[r] = ovf2[k]
+            l_rep[r] = lrep2[k]
+            per_read[r] = flat2[offs2[k]:offs2[k + 1]]
+        flat = (np.concatenate(per_read, axis=0) if batch.n
+                else np.empty((0, len(REG_FIELDS)), np.int64))
+        return n, ovf, l_rep, flat
 
     # read-length bucket granularity (SURVEY.md §5.7 "read-length bucketing
     # so padding waste stays bounded"): a mixed-length batch is split into
@@ -319,6 +378,8 @@ class Aligner:
 
     def _finish_se_parts(self, batch: ReadBatch, n, ovf, l_rep, flat,
                          id0: int) -> str:
+        if ovf.any():
+            n, ovf, l_rep, flat = self._tier2(batch, n, ovf, l_rep, flat)
         offs = np.concatenate([[0], np.cumsum(n)])
         self.stats["reads"] += batch.n
         self.stats["fallback_reads"] += int(ovf.sum())
@@ -391,6 +452,8 @@ class Aligner:
         from .pair.rescue import run_rescue_tasks
         opt_pe = self.opt.replace(flag=self.opt.flag | MemOptions.F_PE)
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
+        if ovf.any():
+            n, ovf, l_rep, flat = self._tier2(batch, n, ovf, l_rep, flat)
         self.stats["reads"] += batch.n
         self.stats["fallback_reads"] += int(ovf.sum())
         if ovf.any():

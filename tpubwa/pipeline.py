@@ -100,6 +100,7 @@ class Aligner:
                     if seed_impl == "lut" else None)
         self._packed_fn = None
         self._mesh = None       # lazy 1-device mesh for the pestat psum
+        self._oracle_pool = [self.oracle]   # per-finish-thread handles
         # running workload-honesty counters (reset freely by callers):
         # fallback_reads = reads realigned by the host oracle after a
         # device-cap overflow — the benchmark reports this rate
@@ -380,26 +381,58 @@ class Aligner:
                          id0: int) -> str:
         if ovf.any():
             n, ovf, l_rep, flat = self._tier2(batch, n, ovf, l_rep, flat)
-        offs = np.concatenate([[0], np.cumsum(n)])
         self.stats["reads"] += batch.n
         self.stats["fallback_reads"] += int(ovf.sum())
 
+        # thread the native finish across cores: the ctypes calls release
+        # the GIL and each chunk runs on its own native handle, so the host
+        # half scales with cores instead of being one serial C++ call
+        # (VERDICT r2 item 6). Chunks are contiguous read ranges, joined in
+        # order — output is byte-identical to the serial path.
+        k = min(self._n_finish_threads(), max(batch.n // 256, 1))
+        offs_all = np.concatenate([[0], np.cumsum(n)])
+        if k <= 1:
+            return self._finish_chunk(batch, n, ovf, l_rep, flat, offs_all,
+                                      0, batch.n, id0, self.oracle)
+        import concurrent.futures as cf
+        bounds = [round(batch.n * t / k) for t in range(k + 1)]
+        oracles = self._finish_oracles(k)
+        with cf.ThreadPoolExecutor(max_workers=k) as ex:
+            futs = [ex.submit(self._finish_chunk, batch, n, ovf, l_rep,
+                              flat, offs_all, bounds[t], bounds[t + 1],
+                              id0, oracles[t])
+                    for t in range(k)]
+            return "".join(f.result() for f in futs)
+
+    def _n_finish_threads(self) -> int:
+        import os
+        return max(1, min(8, os.cpu_count() or 1))
+
+    def _finish_oracles(self, k: int):
+        """Per-thread native handles over the same (kept-alive) index."""
+        while len(self._oracle_pool) < k:
+            self._oracle_pool.append(Oracle(self.idx))
+        return self._oracle_pool[:k]
+
+    def _finish_chunk(self, batch, n, ovf, l_rep, flat, offs_all, lo, hi,
+                      id0, oracle) -> str:
         out_parts: list[str] = []
         # group maximal runs of non-overflow reads into single native calls
-        i = 0
-        while i < batch.n:
+        i = lo
+        while i < hi:
             if ovf[i]:
                 sub = _slice_batch(batch, i, i + 1)
                 out_parts.append(
-                    self.oracle.align_se(sub, self.opt, id0=id0 + i,
-                                         rg_id=self.rg_id))
+                    oracle.align_se(sub, self.opt, id0=id0 + i,
+                                    rg_id=self.rg_id))
                 i += 1
                 continue
             j = i
-            while j < batch.n and not ovf[j]:
+            while j < hi and not ovf[j]:
                 j += 1
             out_parts.append(self._finish_run(
-                batch, flat[offs[i]:offs[j]], n, l_rep, i, j, id0))
+                batch, flat[offs_all[i]:offs_all[j]], n, l_rep, i, j, id0,
+                oracle))
             i = j
         return "".join(out_parts)
 
@@ -523,8 +556,10 @@ class Aligner:
             C.byref(out_len))
         return C.string_at(ptr, out_len.value).decode()
 
-    def _finish_run(self, batch, flat, n, l_rep, i, j, id0) -> str:
-        lib = self.oracle._lib
+    def _finish_run(self, batch, flat, n, l_rep, i, j, id0,
+                    oracle=None) -> str:
+        oracle = oracle or self.oracle
+        lib = oracle._lib
         sub = _slice_batch(batch, i, j)
         m = j - i
         counts = n[i:j].astype(np.int32)
@@ -534,7 +569,7 @@ class Aligner:
         quals = (C.c_char_p * m)(*[(q or "").encode() for q in sub.quals])
         out_len = C.c_int64(0)
         ptr = lib.tb_finish_se_sam(
-            self.oracle._h, C.byref(to_copt(self.opt)), seqs, lens, names,
+            oracle._h, C.byref(to_copt(self.opt)), seqs, lens, names,
             quals, m, seqs.shape[1], np.ascontiguousarray(flat),
             np.ascontiguousarray(counts),
             np.ascontiguousarray(l_rep[i:j].astype(np.int32)),

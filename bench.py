@@ -97,6 +97,24 @@ def main():
     t_host = time.time() - th0
     busy = min(100.0, 100.0 * t_dev / (dt / TIMED_BATCHES))
 
+    # ---- paired-end throughput (BASELINE config 2: PE 150bp) ----
+    PE_BATCH = 2048            # pairs
+    pe_recs = fastx.simulate_reads(
+        fwd, 2 * PE_BATCH * 3, read_len=150, paired=True, error_rate=0.01,
+        indel_rate=0.001, seed=11, insert_mean=400, insert_std=50)
+    pe_batches = [fastx.batch_reads(pe_recs[i:i + 2 * PE_BATCH],
+                                    max_len=150)
+                  for i in range(0, len(pe_recs), 2 * PE_BATCH)]
+    _ = aln.align_pe(pe_batches[0], id0=0)      # compile
+    aln.stats = {"reads": 0, "fallback_reads": 0}
+    tp0 = time.time()
+    pe_out = list(aln.align_pe_stream(pe_batches[1:], id0=PE_BATCH))
+    pe_dt = time.time() - tp0
+    pe_n = sum(b.n for b in pe_batches[1:])
+    assert sum(s.count("\n") for s in pe_out) >= pe_n
+    pe_rps = pe_n / pe_dt
+    pe_fb = 100.0 * aln.stats["fallback_reads"] / max(aln.stats["reads"], 1)
+
     print(json.dumps({
         "metric": "se_100bp_reads_per_s_per_chip",
         "value": round(rps, 1),
@@ -108,6 +126,8 @@ def main():
                               "transfer": round(t_xfer, 4),
                               "host_finish": round(t_host, 4)},
         "device_busy_pct": round(busy, 1),
+        "pe_150bp_reads_per_s": round(pe_rps, 1),
+        "pe_fallback_pct": round(pe_fb, 3),
         "setup_s": round(t1 - t0, 1),
     }))
     print(f"# setup {t1 - t0:.1f}s, timed {n} reads in {dt:.2f}s, "

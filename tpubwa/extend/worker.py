@@ -44,6 +44,9 @@ class ExtendConfig:
     max_band_try: int = 2
     use_pallas: bool = False  # TPU: run the VMEM-resident Pallas SW kernel
     tail_rows: int = 8        # reads with >1 extension round: B // tail_rows
+    full_rounds: int = 1      # full-width extension rounds before the tail
+    #                           (2 on repeat-rich large genomes, where most
+    #                           reads extend a second chain)
 
 
 def cal_max_gap(cfg: ExtendConfig, qlen):
@@ -162,10 +165,14 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
 
     sel_cond, sel_body, run_extension, act_fn = _engine(didx, cfg, ctx)
 
-    # ---- round 1, full width: virtually every read extends once ----
-    st = jax.lax.while_loop(sel_cond, sel_body, st)
-    st = jax.lax.cond(jnp.any(act_fn(st)), run_extension, lambda s: s, st)
-    # advance past seeds the round-1 region now contains (VPU-only), so
+    # ---- full-width rounds: round 1 extends virtually every read once;
+    # on repeat-rich genomes a second round catches the common
+    # second-chain extension before the compacted tail ----
+    for _ in range(max(cfg.full_rounds, 1)):
+        st = jax.lax.while_loop(sel_cond, sel_body, st)
+        st = jax.lax.cond(jnp.any(act_fn(st)), run_extension,
+                          lambda s: s, st)
+    # advance past seeds the full-round regions now contain (VPU-only), so
     # only reads that truly need another EXTENSION enter the tail
     st = jax.lax.while_loop(sel_cond, sel_body, st)
 

@@ -73,11 +73,14 @@ def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                        max_chain_extend=min(opt.max_chain_extend, 1 << 30),
                        min_chain_weight=opt.min_chain_weight)
     use_pallas = jax.default_backend() == "tpu"
+    big = text_len is not None and text_len >= 1 << 30
     ecfg = ExtendConfig(max_regs=max_regs, w=opt.w, zdrop=opt.zdrop, a=opt.a,
                         b=opt.b, o_del=opt.o_del, e_del=opt.e_del,
                         o_ins=opt.o_ins, e_ins=opt.e_ins,
                         pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
-                        use_pallas=use_pallas)
+                        use_pallas=use_pallas,
+                        full_rounds=2 if big else 1,
+                        tail_rows=4 if big else 8)
     return scfg, ccfg, ecfg
 
 

@@ -188,10 +188,19 @@ int mem_matesw(const MemOpt &opt, const FMIdx &idx, const PeStat pes[4],
       AlignResult aln;
       bool have = false;
       if (inj) {  // device-computed result for this (pair, end, reg, dir)
-        for (int t = 0; t < inj->n; ++t) {
+        // tasks are emitted in ascending pid order (mem_rescue_tasks walks
+        // pairs sequentially): binary-search the pid range, then scan only
+        // that pair's few rows — keeps rescue-heavy batches O(n log n)
+        int lo = 0, hi = inj->n;
+        while (lo < hi) {
+          int mid = (lo + hi) / 2;
+          if (inj->tasks[(size_t)mid * 8] < pid) lo = mid + 1;
+          else hi = mid;
+        }
+        for (int t = lo; t < inj->n && inj->tasks[(size_t)t * 8] == pid;
+             ++t) {
           const int64_t *row = inj->tasks + (size_t)t * 8;
-          if (row[0] == pid && row[1] == end_i && row[2] == reg_j &&
-              row[3] == r) {
+          if (row[1] == end_i && row[2] == reg_j && row[3] == r) {
             const int32_t *q = inj->res + (size_t)t * 7;
             aln.score = q[0];
             aln.tb = q[1];

@@ -13,7 +13,7 @@ sys.path.insert(0, str(REPO))
 import numpy as np
 
 
-def main(n_reads=2048, error_rate=0.02, seed=3):
+def main(n_reads=2048, error_rate=0.02, indel_rate=0.002, seed=3):
     import bench as B
     from tpubwa.io import fastx
     from tpubwa.opts import MemOptions
@@ -24,7 +24,8 @@ def main(n_reads=2048, error_rate=0.02, seed=3):
                   lut_cache=REPO / "build" / f"bench_lut_{B.GENOME_LEN}.npz")
     fwd = idx.get_seq(0, idx.l_pac).astype(np.uint8)
     recs = fastx.simulate_reads(fwd, n_reads, read_len=100,
-                                error_rate=error_rate, seed=seed)
+                                error_rate=error_rate,
+                                indel_rate=indel_rate, seed=seed)
     batch = fastx.batch_reads(recs, max_len=100)
     dev_sam = aln.align_se(batch, id0=0)
     orc_sam = aln.oracle.align_se(batch, aln.opt, id0=0, rg_id="")

@@ -145,6 +145,21 @@ def cmd_align(a) -> int:
     else:
         out = sys.stdout if a.output == "-" else open(a.output, "w")
 
+    # flush granularity: a batch closes at the first record count
+    # >= batch_size that is even for PE (pairs stay in one batch)
+    flush_at = a.batch_size + (a.batch_size % 2 if a.paired else 0)
+
+    if a.multihost and a.paired and not a.oracle:
+        # agree on the global PE reduce-round count up front so uneven
+        # per-host inputs can't deadlock the pestat all-reduce: count this
+        # host's records (cheap parse-only pass), derive its batch count
+        from .dist import multihost
+        n_recs = sum(1 for p in a.fastq for _ in iter_fastq(p))
+        n_batches = -(-n_recs // flush_at) if n_recs else 0
+        total = multihost.pe_plan(n_batches, opt.max_ins)
+        print(f"[tpubwa align] multihost PE plan: {n_batches} local / "
+              f"{total} global reduce rounds", file=sys.stderr)
+
     t0 = time.time()
     n_done = 0
     batch_no = 0
@@ -152,24 +167,25 @@ def cmd_align(a) -> int:
         if out is not None:
             out.write(aln.sam_header())
 
-        # fast path: single-end on the device with a plain output file —
-        # stream batches through the pipelined aligner (device computes
-        # batch i+1 while the host finishes batch i)
-        if not a.paired and not a.oracle and manifest is None:
-            from .io.fastx import ReadBatch
+        def batch_iter():
+            pend = []
+            for path in a.fastq:
+                for rec in iter_fastq(path):
+                    pend.append(rec)
+                    if len(pend) >= flush_at:
+                        yield batch_reads(pend)
+                        pend = []
+            if pend:
+                yield batch_reads(pend)
 
-            def batch_iter():
-                pend = []
-                for path in a.fastq:
-                    for rec in iter_fastq(path):
-                        pend.append(rec)
-                        if len(pend) >= a.batch_size:
-                            yield batch_reads(pend)
-                            pend = []
-                if pend:
-                    yield batch_reads(pend)
-
-            for sam in aln.align_se_stream(batch_iter(), id0=a.id0):
+        # fast path: device alignment with a plain output file — stream
+        # batches through the pipelined aligner (device computes batch i+1
+        # while the host finishes batch i); SE and PE both pipeline
+        if not a.oracle and manifest is None:
+            stream = (aln.align_pe_stream(batch_iter(), id0=a.id0 // 2)
+                      if a.paired
+                      else aln.align_se_stream(batch_iter(), id0=a.id0))
+            for sam in stream:
                 out.write(sam)
                 n_done += sam.count("\n")
                 batch_no += 1
@@ -203,6 +219,11 @@ def cmd_align(a) -> int:
                 return
             tb = time.time()
             if manifest is not None and manifest.is_done(batch_no):
+                if a.multihost and a.paired and not a.oracle:
+                    # keep the global pestat reduce sequence aligned when
+                    # resume skips different batch counts per host
+                    from .dist.multihost import hist_skip
+                    hist_skip()
                 n_done += len(pending)
                 batch_no += 1
                 pending.clear()
@@ -242,9 +263,12 @@ def cmd_align(a) -> int:
 
 def _mh_done(a) -> None:
     """Hold multihost processes at a barrier before exit so hosts with
-    uneven batch/compile times reach jax.distributed's shutdown together."""
+    uneven batch/compile times reach jax.distributed's shutdown together.
+    PE runs first drain any remaining global pestat reduce rounds (hosts
+    with fewer batches contribute zeros — see multihost.pe_plan)."""
     if getattr(a, "multihost", False):
-        from .dist.multihost import barrier
+        from .dist.multihost import barrier, pe_drain
+        pe_drain()
         barrier("align_done")
 
 

@@ -60,16 +60,26 @@ def worker1_sharded(mesh: Mesh, didx, seqs, lens, scfg, ccfg, ecfg, lut=None):
     """Data-parallel worker1 over the mesh: reads sharded, index (and the
     k-mer jump table) replicated into every chip's HBM.
 
+    Uses shard_map, not jit auto-partitioning: worker1 is embarrassingly
+    parallel over reads, so each device runs a purely LOCAL program with
+    zero collectives. Under GSPMD the partitioner placed an all-reduce
+    (batch-wide dynamic trip counts) inside per-device while loops on the
+    int64 index path — devices diverged on loop exit and deadlocked the
+    collective rendezvous (reproduced on an 8-device CPU mesh). shard_map
+    makes the no-communication contract explicit, and per-shard trip
+    counts are also tighter (each device loops only for its own reads).
+
     seqs: (B, L) with B divisible by mesh size. Returns the reg dict with
     outputs sharded along the reads axis (device-resident).
     """
     spec_b = P(READS_AXIS)
-    fn = jax.jit(
-        partial(worker1_step, scfg=scfg, ccfg=ccfg, ecfg=ecfg),
-        in_shardings=(None, NamedSharding(mesh, spec_b),
-                      NamedSharding(mesh, spec_b), None),
-        out_shardings=NamedSharding(mesh, spec_b),
-    )
+    local = partial(worker1_step, scfg=scfg, ccfg=ccfg, ecfg=ecfg)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), spec_b, spec_b, P()),
+        out_specs=spec_b,
+        check_vma=False,   # didx/lut are replicated inputs used freely
+    ))
     return fn(didx, seqs, lens, lut)
 
 

@@ -56,6 +56,28 @@ def shard_output_path(base: str | Path, process_id: int) -> Path:
     return base.with_name(f"{base.stem}.host{process_id:04d}{base.suffix}")
 
 
+def _kv_client():
+    """The jax.distributed coordinator KV client.
+
+    This reaches into the private ``jax._src`` namespace (there is no public
+    KV-store API yet); isolate and version-guard the access here so a JAX
+    upgrade breaks exactly one function with a clear message.
+    """
+    try:
+        from jax._src import distributed
+        client = distributed.global_state.client
+    except (ImportError, AttributeError) as e:  # moved/renamed in a new JAX
+        raise RuntimeError(
+            "tpubwa multihost needs the jax.distributed coordinator "
+            "key-value store (jax._src.distributed.global_state.client); "
+            "this JAX version does not expose it — update "
+            "tpubwa/dist/multihost.py::_kv_client") from e
+    if client is None:
+        raise RuntimeError("jax.distributed is not initialized "
+                           "(call multihost.initialize() first)")
+    return client
+
+
 def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
     """KV-store barrier across processes (no-op single-process). Used at
     the end of a --multihost run so hosts with very different batch/compile
@@ -64,9 +86,7 @@ def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
 
     if jax.process_count() == 1:
         return
-    from jax._src import distributed
-
-    client = distributed.global_state.client
+    client = _kv_client()
     pid, n = jax.process_index(), jax.process_count()
     client.key_value_set(f"tpubwa/barrier/{name}/{pid}", "1")
     for p in range(n):
@@ -74,7 +94,64 @@ def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
                                       timeout_ms)
 
 
-_hist_seq = 0
+# Global PE-reduction state: seq = next reduce round, own/total = this
+# host's / the agreed global batch count (None until pe_plan), shape = the
+# histogram shape for zero-contribution rounds.
+_pe = {"seq": 0, "own": None, "total": None, "shape": None}
+
+
+def pe_plan(n_batches: int, max_ins: int, timeout_ms: int = 600_000) -> int:
+    """Agree on the global PE reduce-round count BEFORE aligning.
+
+    Every host announces how many PE batches it will process; the global
+    round count is the max. Hosts with fewer batches participate in the
+    remaining rounds with zero histograms (pe_drain), so uneven per-host
+    inputs — round-robin file sharding with an odd file count, or
+    --shard-dir resume skipping different numbers of batches per host —
+    can no longer deadlock or silently mis-pair the reduction
+    (round-3 advisor finding, multihost.py:104).
+
+    Returns the global round count. Single-process: records the plan and
+    returns n_batches.
+    """
+    import jax
+
+    _pe.update(seq=0, own=int(n_batches), shape=(4, max_ins + 1))
+    if jax.process_count() == 1:
+        _pe["total"] = int(n_batches)
+        return int(n_batches)
+    client = _kv_client()
+    pid, n = jax.process_index(), jax.process_count()
+    client.key_value_set(f"tpubwa/pe_plan/{pid}", str(int(n_batches)))
+    counts = [int(client.blocking_key_value_get(f"tpubwa/pe_plan/{p}",
+                                                timeout_ms))
+              for p in range(n)]
+    _pe["total"] = max(counts)
+    return _pe["total"]
+
+
+def pe_drain() -> None:
+    """Participate with zero histograms in the reduce rounds of hosts that
+    have more PE batches than this one; call after the host's last batch.
+    No-op without a pe_plan or when this host had the most batches."""
+    import numpy as np
+
+    if _pe["total"] is None:
+        return
+    while _pe["seq"] < _pe["total"]:
+        hist_allreduce(np.zeros(_pe["shape"], np.int64))
+    _pe.update(own=None, total=None)
+
+
+def hist_skip() -> None:
+    """Zero-contribution reduce for a batch this host skips (e.g. a
+    --shard-dir manifest hit on resume): keeps every host's reduce
+    sequence aligned to the global batch ordinal."""
+    import numpy as np
+
+    if _pe["shape"] is None:
+        raise RuntimeError("hist_skip() requires a pe_plan()")
+    hist_allreduce(np.zeros(_pe["shape"], np.int64))
 
 
 def hist_allreduce(hist, timeout_ms: int = 600_000):
@@ -83,8 +160,10 @@ def hist_allreduce(hist, timeout_ms: int = 600_000):
     pestat collect; SURVEY.md §5.8 "pestat collect+broadcast"].
 
     No-op in a single-process run. In a multi-process run every host must
-    call this once per batch (lockstep), which the CLI's --multihost input
-    sharding guarantees by splitting work per batch index.
+    call this once per global batch ordinal, in order; uneven per-host
+    batch counts are handled by pe_plan + pe_drain/hist_skip (zero
+    contributions), and over-running an agreed plan raises instead of
+    blocking on a key that will never arrive.
 
     Rides the jax.distributed coordinator's key-value store rather than a
     device collective: the histogram is ~320 KB once per batch, hosts can
@@ -94,17 +173,20 @@ def hist_allreduce(hist, timeout_ms: int = 600_000):
     import jax
 
     if jax.process_count() == 1:
+        _pe["seq"] += 1
         return hist
     import base64
 
     import numpy as np
 
-    from jax._src import distributed
-
-    global _hist_seq
-    seq = _hist_seq
-    _hist_seq += 1
-    client = distributed.global_state.client
+    seq = _pe["seq"]
+    if _pe["total"] is not None and seq >= _pe["total"]:
+        raise RuntimeError(
+            f"hist_allreduce round {seq} exceeds the agreed pe_plan of "
+            f"{_pe['total']} rounds — per-host batch counts diverged from "
+            "the plan")
+    _pe["seq"] = seq + 1
+    client = _kv_client()
     pid, n = jax.process_index(), jax.process_count()
     h = np.ascontiguousarray(hist, dtype=np.int64)
     client.key_value_set(f"tpubwa/pestat/{seq}/{pid}",
@@ -115,4 +197,13 @@ def hist_allreduce(hist, timeout_ms: int = 600_000):
                                             timeout_ms)
         total += np.frombuffer(base64.b64decode(raw),
                                np.int64).reshape(h.shape)
+    # Completing round `seq` proves every host finished round seq-1 (each
+    # published its seq key only after reading all seq-1 keys), so our own
+    # seq-1 key can no longer be awaited by anyone: delete it to bound
+    # coordinator memory over long runs (round-3 advisor finding).
+    if seq > 0:
+        try:
+            client.key_value_delete(f"tpubwa/pestat/{seq - 1}/{pid}")
+        except Exception:
+            pass  # cleanup is best-effort; never fail the reduction
     return total

@@ -24,6 +24,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -(2**30)
 
 
+def _pick_tile(N, vmem_rows):
+    """Task-tile size for the grid: Mosaic requires the second-to-last
+    block dim be a multiple of 8 (unless it equals the array dim), so floor
+    the VMEM-budget row count to a multiple of 8 and never exceed N rounded
+    up to 8.  Callers pad the batch to a multiple of the returned tile.
+    Regression guard for BENCH_r03: T=768 gave tile=42 and Q=256 gave
+    tile=85, both rejected by the TPU lowering."""
+    tile = max(8, (vmem_rows // 8) * 8)
+    return min(tile, ((N + 7) // 8) * 8)
+
+
 def _lane_shift_right(x, sh, fill):
     """Shift along the lane axis (last dim): out[..., j] = x[..., j-sh].
 
@@ -317,7 +328,7 @@ def ksw_local_pallas(query, qlen, target, tlen, minsc, valid,
                      e_del=e_del, o_ins=o_ins, e_ins=e_ins, a_sc=a_sc,
                      b_sc=b_sc, want_sub=want_sub)
     # VMEM per task: H/E/body temps on LANES + the (T,) row-max scratch
-    tile = max(8, min(N, 256 * 128 // max(LANES, T)))
+    tile = _pick_tile(N, 256 * 128 // max(LANES, T))
     if N % tile:
         pad_n = tile - N % tile
         qpad = jnp.concatenate(
@@ -371,7 +382,7 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
                      o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, a_sc=a_sc,
                      b_sc=b_sc)
     # tile tasks across the grid so DP state fits in VMEM
-    tile = min(N, 256 * 128 // LANES)  # VMEM: loop state + body temporaries
+    tile = _pick_tile(N, 256 * 128 // LANES)
     if N % tile:
         pad_n = tile - N % tile
         qpad = jnp.concatenate(

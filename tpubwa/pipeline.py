@@ -319,10 +319,17 @@ class Aligner:
         W = batch.seqs.shape[1]
         wb = min(int(np.max(-(-lens // self.BUCKET)) * self.BUCKET), W) \
             if batch.n else W
-        if batch.n == 0 or wb >= W or np.min(lens) > wb - self.BUCKET:
+        if batch.n == 0 or wb >= W:
             # uniform enough: one full-width call (also the fast path the
             # fixed-length benchmarks compile once)
             seqs = jnp.asarray(batch.seqs)  # uint8 over the wire
+            return [(None, self.worker1_packed(seqs, jnp.asarray(lens)),
+                     batch.n)]
+        if np.min(lens) > wb - self.BUCKET:
+            # single-bucket batch padded wider than its bucket (e.g. all
+            # 76 bp reads in a max_len=250 batch): truncate the device call
+            # to the bucket width so padding waste stays < BUCKET lanes
+            seqs = jnp.asarray(np.ascontiguousarray(batch.seqs[:, :wb]))
             return [(None, self.worker1_packed(seqs, jnp.asarray(lens)),
                      batch.n)]
         parts = []

@@ -269,18 +269,29 @@ class Aligner:
             self._packed_big = self._make_packed(scfg, ccfg, ecfg)
         return self._packed_big
 
-    def _tier2(self, batch: ReadBatch, n, ovf, l_rep, flat):
-        """Re-run tier-1-overflow reads through the big-caps device path
-        and merge results; returns updated (n, ovf, l_rep, flat)."""
+    def _tier2_dispatch(self, batch: ReadBatch, ovf):
+        """Issue the big-caps device call for tier-1-overflow reads.
+
+        Returns (rows, rsel, device_buffer) with the device work IN FLIGHT
+        (nothing blocks until _tier2_merge downloads it), or None when no
+        read overflowed — so callers can finish the clean reads on the
+        host while tier-2 computes."""
         rows = np.flatnonzero(ovf)
         if len(rows) == 0:
-            return n, ovf, l_rep, flat
+            return None
         pad = (-len(rows)) % self.TIER2_ROWS
         rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])
         seqs = jnp.asarray(np.ascontiguousarray(batch.seqs[rsel]))
         lens2 = jnp.asarray(np.ascontiguousarray(batch.lens[rsel]))
-        buf = np.asarray(self._packed_big_fn()(
-            self.didx, self.lut, seqs, lens2))
+        return rows, rsel, self._packed_big_fn()(self.didx, self.lut,
+                                                 seqs, lens2)
+
+    def _tier2_merge(self, batch: ReadBatch, n, ovf, l_rep, flat, t2):
+        """Download the tier-2 result (blocks on the device) and splice the
+        re-run reads' regions back in; returns updated (n, ovf, l_rep,
+        flat)."""
+        rows, rsel, dev = t2
+        buf = np.asarray(dev)
         n2, ovf2, lrep2, flat2 = self._unpack_host(buf, len(rsel))
         offs2 = np.concatenate([[0], np.cumsum(n2)])
         offs = np.concatenate([[0], np.cumsum(n)])
@@ -295,6 +306,14 @@ class Aligner:
         flat = (np.concatenate(per_read, axis=0) if batch.n
                 else np.empty((0, len(REG_FIELDS)), np.int64))
         return n, ovf, l_rep, flat
+
+    def _tier2(self, batch: ReadBatch, n, ovf, l_rep, flat):
+        """Re-run tier-1-overflow reads through the big-caps device path
+        and merge results; returns updated (n, ovf, l_rep, flat)."""
+        t2 = self._tier2_dispatch(batch, ovf)
+        if t2 is None:
+            return n, ovf, l_rep, flat
+        return self._tier2_merge(batch, n, ovf, l_rep, flat, t2)
 
     # read-length bucket granularity (SURVEY.md §5.7 "read-length bucketing
     # so padding waste stays bounded"): a mixed-length batch is split into
@@ -389,18 +408,68 @@ class Aligner:
 
     def _finish_se_parts(self, batch: ReadBatch, n, ovf, l_rep, flat,
                          id0: int) -> str:
-        if ovf.any():
-            n, ovf, l_rep, flat = self._tier2(batch, n, ovf, l_rep, flat)
         self.stats["reads"] += batch.n
-        self.stats["fallback_reads"] += int(ovf.sum())
-
-        # thread the native finish across cores: the ctypes calls release
-        # the GIL and each chunk runs on its own native handle, so the host
-        # half scales with cores instead of being one serial C++ call
-        # (VERDICT r2 item 6). Chunks are contiguous read ranges, joined in
-        # order — output is byte-identical to the serial path.
-        k = min(self._n_finish_threads(), max(batch.n // 256, 1))
+        t2 = self._tier2_dispatch(batch, ovf) if ovf.any() else None
         offs_all = np.concatenate([[0], np.cumsum(n)])
+        if t2 is None:
+            self.stats["fallback_reads"] += 0
+            return self._finish_threaded(batch, n, ovf, l_rep, flat,
+                                         offs_all, id0)
+
+        # tier-2 is IN FLIGHT on the device: finish the clean reads' runs
+        # on the host now so the big-caps re-run costs (almost) no wall
+        # time, then splice the tier-2 results in and finish the rest.
+        # Output pieces carry their start read index and are joined in
+        # order — byte-identical to the serial path.
+        pieces: list[tuple[int, str]] = []
+        B = batch.n
+        i = 0
+        while i < B:
+            if ovf[i]:
+                i += 1
+                continue
+            j = i
+            while j < B and not ovf[j]:
+                j += 1
+            pieces.append((i, self._finish_run(
+                batch, flat[offs_all[i]:offs_all[j]], n, l_rep, i, j, id0,
+                self.oracle)))
+            i = j
+
+        rows = t2[0]
+        n, ovf, l_rep, flat = self._tier2_merge(batch, n, ovf, l_rep,
+                                                flat, t2)
+        self.stats["fallback_reads"] += int(ovf.sum())
+        offs2 = np.concatenate([[0], np.cumsum(n)])
+        k = 0
+        while k < len(rows):
+            r = int(rows[k])
+            if ovf[r]:
+                sub = _slice_batch(batch, r, r + 1)
+                pieces.append((r, self.oracle.align_se(
+                    sub, self.opt, id0=id0 + r, rg_id=self.rg_id)))
+                k += 1
+                continue
+            # group tier-2-resolved reads that are adjacent in read order
+            k2 = k + 1
+            while (k2 < len(rows) and int(rows[k2]) == r + (k2 - k)
+                   and not ovf[int(rows[k2])]):
+                k2 += 1
+            j = int(rows[k2 - 1]) + 1
+            pieces.append((r, self._finish_run(
+                batch, flat[offs2[r]:offs2[j]], n, l_rep, r, j, id0,
+                self.oracle)))
+            k = k2
+        pieces.sort(key=lambda p: p[0])
+        return "".join(s for _, s in pieces)
+
+    def _finish_threaded(self, batch, n, ovf, l_rep, flat, offs_all,
+                         id0: int) -> str:
+        """Native finish over contiguous read chunks, threaded when the
+        host has cores to spare (the ctypes calls release the GIL and each
+        chunk runs on its own native handle). Joined in order — output is
+        byte-identical to the serial path."""
+        k = min(self._n_finish_threads(), max(batch.n // 256, 1))
         if k <= 1:
             return self._finish_chunk(batch, n, ovf, l_rep, flat, offs_all,
                                       0, batch.n, id0, self.oracle)
@@ -415,8 +484,11 @@ class Aligner:
             return "".join(f.result() for f in futs)
 
     def _n_finish_threads(self) -> int:
+        """Leave one core for the dispatching Python thread: on a 2-core
+        host, 2 finish threads measured SLOWER than 1 (GIL-holding numpy
+        slices + pool overhead exceed the win — scripts/profile_finish.py)."""
         import os
-        return max(1, min(8, os.cpu_count() or 1))
+        return max(1, min(8, (os.cpu_count() or 2) - 1))
 
     def _finish_oracles(self, k: int):
         """Per-thread native handles over the same (kept-alive) index."""

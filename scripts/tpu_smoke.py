@@ -114,6 +114,47 @@ def kernel_sweep():
             tag = "ok" if (ok_e and ok_l) else "FAIL"
             print(f"  kernel sweep Q={Q:4d} T={T:5d}: extend={ok_e} "
                   f"local={ok_l} [{tag}]", flush=True)
+
+    # --- production-batch N: tile sizing is N-dependent, and a tile that
+    # only materializes at large N can exceed the scoped-VMEM limit (the
+    # r4 bench OOMed at tile=976 while this sweep's n=100 passed) ---
+    for (NB, Q, T) in ((4500, 100, 290), (2100, 151, 640)):
+        qs, qlen, ts, tlen = gen_tasks(NB, n=NB, maxq=Q, maxt=T)
+        valid = jnp.ones(len(qlen), bool)
+        h0 = jnp.asarray(np.random.default_rng(NB).integers(
+            10, Q, len(qlen)).astype(np.int32))
+        w = jnp.full((len(qlen),), opt.w, jnp.int32)
+        eb = jnp.full((len(qlen),), 5, jnp.int32)
+        ref = ksw_extend_batch(
+            jnp.asarray(qs, jnp.int32), jnp.asarray(qlen),
+            jnp.asarray(ts, jnp.int32), jnp.asarray(tlen), h0, w, eb,
+            valid, jnp.asarray(scmat), None, opt.o_del, opt.e_del,
+            opt.o_ins, opt.e_ins, opt.zdrop)
+        pal = ksw_extend_pallas(
+            jnp.asarray(qs, jnp.int32), jnp.asarray(qlen),
+            jnp.asarray(ts, jnp.int32), jnp.asarray(tlen), h0, w, eb,
+            valid, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.zdrop, opt.a, opt.b)
+        want = np.stack([np.asarray(r) for r in ref], axis=1)
+        ok_e = bool(np.array_equal(np.asarray(pal), want))
+        minsc = jnp.full((len(qlen),), opt.min_seed_len * opt.a, jnp.int32)
+        refl = ksw_local_batch(
+            jnp.asarray(qs, jnp.int32), jnp.asarray(qlen),
+            jnp.asarray(ts, jnp.int32), jnp.asarray(tlen), valid,
+            minsc, _scmat_tuple(opt.a, opt.b), opt.o_del, opt.e_del,
+            opt.o_ins, opt.e_ins, True)
+        pall = ksw_local_pallas(
+            jnp.asarray(qs, jnp.int32), jnp.asarray(qlen),
+            jnp.asarray(ts, jnp.int32), jnp.asarray(tlen), minsc,
+            valid, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+            opt.a, opt.b, want_sub=True)
+        wantl = np.stack([np.asarray(r) for r in refl], axis=1)
+        ok_l = bool(np.array_equal(np.asarray(pall), wantl))
+        results.append({"Q": Q, "T": T, "N": NB, "extend_ok": ok_e,
+                        "local_ok": ok_l})
+        tag = "ok" if (ok_e and ok_l) else "FAIL"
+        print(f"  kernel sweep N={NB} Q={Q:4d} T={T:5d}: extend={ok_e} "
+              f"local={ok_l} [{tag}]", flush=True)
     return results
 
 

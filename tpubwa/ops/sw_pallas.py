@@ -35,6 +35,28 @@ def _pick_tile(N, vmem_rows):
     return min(tile, ((N + 7) // 8) * 8)
 
 
+def _sort_perm(tlen, valid):
+    """Ascending-(valid, tlen) task permutation. The DP loop of each grid
+    tile runs until the SLOWEST task in the tile finishes, so grouping
+    tasks of similar target length (and pushing invalid tasks into tiles
+    that exit after one iteration) cuts the total sequential row count
+    from n_tiles * max(tlen) to ~sum of per-tile quantiles."""
+    key = jnp.where(valid.astype(bool), tlen.astype(jnp.int32), -1)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _apply_perm(mat, perm):
+    """Row permutation via an MXU one-hot contraction: XLA's row gather
+    pays a per-offset cost that exceeds the matmul for these shapes.
+    Exact for values < 2^24 (codes <= 4 and int16-range scalars)."""
+    N = mat.shape[0]
+    oh = (perm[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    out = jnp.matmul(oh, mat.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.round(out).astype(mat.dtype)
+
+
 def _lane_shift_right(x, sh, fill):
     """Shift along the lane axis (last dim): out[..., j] = x[..., j-sh].
 
@@ -192,7 +214,10 @@ def _kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del, e_del,
                 frz(new_gs, gscore0), frz(max_off, max_off0),
                 jnp.where(live, done | done_now.astype(jnp.int32), done))
 
-    st = jax.lax.while_loop(cond, body, init)
+    # 2 DP rows per loop iteration: body is idempotent for finished tasks
+    # (live-masked state freeze), so body∘body under the same cond is
+    # exact and halves the while_loop cond/bookkeeping overhead
+    st = jax.lax.while_loop(cond, lambda s: body(body(s)), init)
     (_, _, _, _, _, mx, max_i, max_j, max_ie, gscore, max_off, _) = st
     out = jnp.concatenate(
         [mx, max_j + 1, max_i + 1, max_ie + 1, gscore, max_off], axis=1)
@@ -261,7 +286,9 @@ def _local_kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del,
         return (i + 1, jnp.where(live, Hn, H), jnp.where(live, En, E),
                 best2, te2, qe2, imax_arr)
 
-    i, H, E, best, te, qe, imax_arr = jax.lax.while_loop(cond, body, init)
+    # 2 rows per iteration (see the extend kernel note; body live-masks)
+    i, H, E, best, te, qe, imax_arr = jax.lax.while_loop(
+        cond, lambda s: body(body(s)), init)
 
     if want_sub:
         # run tracking over the stored row maxima [local_fwd's b list]:
@@ -292,7 +319,7 @@ def _local_kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del,
             return i + 1, bf2, bs2, ans2, ate2
 
         _, bf, bs, ans2, ate2 = jax.lax.while_loop(
-            rcond, rbody, (z1, z1, z1 - 2, z1, z1 - 1))
+            rcond, lambda s: rbody(rbody(s)), (z1, z1, z1 - 2, z1, z1 - 1))
         upd = (bs >= 0) & ((bs < lo) | (bs > hi)) & (bf > ans2)
         ans2 = jnp.where(upd, bf, ans2)
         ate2 = jnp.where(upd, bs, ate2)
@@ -324,11 +351,21 @@ def ksw_local_pallas(query, qlen, target, tlen, minsc, valid,
     scal = jnp.stack([qlen.astype(jnp.int32), tlen.astype(jnp.int32),
                       minsc.astype(jnp.int32),
                       valid.astype(jnp.int32)], axis=1)
+    # group similar-tlen tasks into the same grid tile (per-tile DP loops
+    # exit at the tile's slowest task); un-permuted on output below
+    perm = _sort_perm(scal[:, 1], scal[:, 3])
+    qpad = _apply_perm(qpad, perm)
+    tpad = _apply_perm(tpad, perm)
+    scal = _apply_perm(scal, perm)
     kernel = partial(_local_kernel, T=T, LANES=LANES, o_del=o_del,
                      e_del=e_del, o_ins=o_ins, e_ins=e_ins, a_sc=a_sc,
                      b_sc=b_sc, want_sub=want_sub)
-    # VMEM per task: H/E/body temps on LANES + the (T,) row-max scratch
-    tile = _pick_tile(N, 256 * 128 // max(LANES, T))
+    # explicit VMEM accounting (each grid tile pays a sequential DP loop
+    # to its slowest task, so bigger tiles = proportionally fewer
+    # sequential rows): Mosaic's scoped-vmem stack holds ~4 copies of the
+    # carries/temps (double-buffered in+out), measured 16B x (8 rows of
+    # LANES + 3 rows of T) per task; target 12 MB of the 16 MB limit
+    tile = _pick_tile(N, (12 << 20) // (16 * (8 * LANES + 3 * T)))
     if N % tile:
         pad_n = tile - N % tile
         qpad = jnp.concatenate(
@@ -353,7 +390,9 @@ def ksw_local_pallas(query, qlen, target, tlen, minsc, valid,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(qpad, tpad, scal)
-    return out[:N]
+    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return _apply_perm(out[:N], inv)
 
 
 @partial(jax.jit,
@@ -378,11 +417,19 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
                       h0.astype(jnp.int32), w.astype(jnp.int32),
                       end_bonus.astype(jnp.int32),
                       valid.astype(jnp.int32)], axis=1)
+    # tlen-sorted tile assignment (see ksw_local_pallas)
+    perm = _sort_perm(scal[:, 1], scal[:, 5])
+    qpad = _apply_perm(qpad, perm)
+    tpad = _apply_perm(tpad, perm)
+    scal = _apply_perm(scal, perm)
     kernel = partial(_kernel, T=T, LANES=LANES, o_del=o_del, e_del=e_del,
                      o_ins=o_ins, e_ins=e_ins, zdrop=zdrop, a_sc=a_sc,
                      b_sc=b_sc)
-    # tile tasks across the grid so DP state fits in VMEM
-    tile = _pick_tile(N, 256 * 128 // LANES)
+    # tile tasks across the grid so DP state fits in VMEM: measured 16B x
+    # (8 rows of LANES + 2 rows of T) per task (4 scoped copies — see the
+    # local-kernel note; a 976-task tile at T=290 OOMed at 24.19M/16M);
+    # target 12 MB of the 16 MB limit
+    tile = _pick_tile(N, (12 << 20) // (16 * (8 * LANES + 2 * T)))
     if N % tile:
         pad_n = tile - N % tile
         qpad = jnp.concatenate(
@@ -411,4 +458,6 @@ def ksw_extend_pallas(query, qlen, target, tlen, h0, w, end_bonus, valid,
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
         )(qpad, tpad, scal)
-    return out[:N]
+    inv = jnp.zeros((N,), jnp.int32).at[perm].set(
+        jnp.arange(N, dtype=jnp.int32))
+    return _apply_perm(out[:N], inv)

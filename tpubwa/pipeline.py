@@ -52,8 +52,12 @@ def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
         lg4 = math.ceil(math.log(max(text_len, 4)) / math.log(4.0))
         k0 = max(1, min(12, opt.min_seed_len, lg4 + 1))
         fm_full = max(3, lg4 - k0 + 2)
-        fm_dense = 32 if text_len < 1 << 26 else \
-            (16 if text_len < 1 << 30 else 8)
+        # fm_dense=16 everywhere below 1 Gbp: at 32 the dense FM loop's
+        # survivor budget binds on repeat-rich genomes and routes ~16% of
+        # the bench batch to tier-2 (~0.45 s/batch of big-caps device
+        # re-runs); the wider loop itself costs only ~13 ms/batch
+        # (scripts/tune_budgets.py + time_stages.py, round 4)
+        fm_dense = 16 if text_len < 1 << 30 else 8
         offdiag_dense = 8 if text_len < 1 << 26 else 4
         scfg = LutSeedConfig(max_smems=max_smems,
                              min_seed_len=opt.min_seed_len,
@@ -269,15 +273,24 @@ class Aligner:
             self._packed_big = self._make_packed(scfg, ccfg, ecfg)
         return self._packed_big
 
+    # below this many overflow reads, tier-2 is skipped and the scalar
+    # oracle realigns them on the host instead: the big-caps device call
+    # costs ~0.3 s of device time regardless of row count (it pads to
+    # TIER2_ROWS and serializes with the next batch's worker1 on the
+    # device queue), while a handful of oracle reads run on a spare core
+    # UNDER the next batch's device compute
+    TIER2_MIN = 64
+
     def _tier2_dispatch(self, batch: ReadBatch, ovf):
         """Issue the big-caps device call for tier-1-overflow reads.
 
         Returns (rows, rsel, device_buffer) with the device work IN FLIGHT
         (nothing blocks until _tier2_merge downloads it), or None when no
-        read overflowed — so callers can finish the clean reads on the
-        host while tier-2 computes."""
+        read overflowed (or few enough that the host oracle is cheaper) —
+        so callers can finish the clean reads on the host while tier-2
+        computes."""
         rows = np.flatnonzero(ovf)
-        if len(rows) == 0:
+        if len(rows) < self.TIER2_MIN:
             return None
         pad = (-len(rows)) % self.TIER2_ROWS
         rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])
@@ -412,7 +425,8 @@ class Aligner:
         t2 = self._tier2_dispatch(batch, ovf) if ovf.any() else None
         offs_all = np.concatenate([[0], np.cumsum(n)])
         if t2 is None:
-            self.stats["fallback_reads"] += 0
+            # any remaining overflow rows go straight to the host oracle
+            self.stats["fallback_reads"] += int(ovf.sum())
             return self._finish_threaded(batch, n, ovf, l_rep, flat,
                                          offs_all, id0)
 

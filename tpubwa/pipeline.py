@@ -290,7 +290,13 @@ class Aligner:
         so callers can finish the clean reads on the host while tier-2
         computes."""
         rows = np.flatnonzero(ovf)
-        if len(rows) < self.TIER2_MIN:
+        self.stats["tier1_ovf"] = self.stats.get("tier1_ovf", 0) + len(rows)
+        # relative gate: the big-caps call costs ~0.3-1.0 s of device time
+        # regardless of count; below ~6% of the batch the host oracle
+        # (~0.7 ms/read, overlapped with the next batch's device work) is
+        # cheaper. At genome scale overflow rates are far above the gate
+        # and tier-2 still runs.
+        if len(rows) < max(self.TIER2_MIN, batch.n // 16):
             return None
         pad = (-len(rows)) % self.TIER2_ROWS
         rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])

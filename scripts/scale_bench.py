@@ -124,9 +124,38 @@ def main():
         "fallback_pct": round(fb, 2),
         "peak_rss_gb": round(rss_gb(), 1),
         "costs": costs,
-    }))
+    }), flush=True)
     print(f"# {n} reads in {dt:.1f}s; parity {checked - mism}/{checked}",
           file=sys.stderr)
+
+    # ---- optional PE row (config 4's paired-end flow at genome scale) ----
+    import os
+    if os.environ.get("TPUBWA_SCALE_PE"):
+        PE_PAIRS = 1024
+        pe_recs = fastx.simulate_reads(
+            np.asarray(g), 2 * PE_PAIRS * 2, read_len=150, paired=True,
+            error_rate=0.01, indel_rate=0.001, seed=5, insert_mean=400,
+            insert_std=50)
+        pb = [fastx.batch_reads(pe_recs[i:i + 2 * PE_PAIRS], max_len=150)
+              for i in range(0, len(pe_recs), 2 * PE_PAIRS)]
+        t0 = time.time()
+        _ = aln.align_pe(pb[0], id0=0)            # compile
+        pe_compile = round(time.time() - t0, 1)
+        aln.stats = {"reads": 0, "fallback_reads": 0}
+        t0 = time.time()
+        out = aln.align_pe(pb[1], id0=PE_PAIRS)
+        pe_dt = time.time() - t0
+        assert out.count("\n") >= pb[1].n
+        pe_fb = 100.0 * aln.stats["fallback_reads"] / max(
+            aln.stats["reads"], 1)
+        print(json.dumps({
+            "metric": f"pe_150bpreads_per_s_{mbp}mbp_repeatrich",
+            "value": round(pb[1].n / pe_dt, 1),
+            "unit": "reads/s",
+            "genome_mbp": mbp,
+            "pe_fallback_pct": round(pe_fb, 2),
+            "pe_compile_s": pe_compile,
+        }), flush=True)
 
 
 if __name__ == "__main__":

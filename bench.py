@@ -26,8 +26,8 @@ sys.path.insert(0, str(REPO))
 BASELINE_READS_PER_S = 250_000.0
 GENOME_LEN = 4_600_000
 READ_LEN = 100
-BATCH = 4096
-TIMED_BATCHES = 5            # distinct batches, streamed (pipelined)
+BATCH = int(os.environ.get("TPUBWA_BENCH_BATCH", 8192))
+TIMED_BATCHES = int(os.environ.get("TPUBWA_BENCH_TIMED", 8))
 N_READS = BATCH * (TIMED_BATCHES + 1)
 ERROR_RATE = 0.01
 INDEL_RATE = 0.001

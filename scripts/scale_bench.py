@@ -28,45 +28,19 @@ def rss_gb():
 
 def main():
     import numpy as np
-    from tpubwa.index.builder import FMIndex, build_index
+    import scale_common as SC
     from tpubwa.io import fastx
     from tpubwa.opts import MemOptions
     from tpubwa.pipeline import Aligner
-    from tpubwa.utils import dna, genome
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
     mbp = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    glen = mbp * 1_000_000
-    build_dir = REPO / "build"
-    build_dir.mkdir(exist_ok=True)
-    cache = build_dir / f"scale_index_hard_{glen}.npz"
-    gcache = build_dir / f"scale_genome_hard_{glen}.npy"
     costs = {}
+    g = SC.get_genome(mbp, costs)
+    idx = SC.get_index(mbp, g, costs)
 
     t0 = time.time()
-    if gcache.exists():
-        g = np.load(gcache, mmap_mode="r")
-    else:
-        profile = genome.HUMAN if mbp >= 32 else genome.BACTERIAL
-        g = genome.synthetic_genome(glen, seed=7, profile=profile)
-        np.save(gcache, g)
-    costs["genome_s"] = round(time.time() - t0, 1)
-
-    t0 = time.time()
-    if cache.exists():
-        idx = FMIndex.load(cache)
-        costs["index_load_s"] = round(time.time() - t0, 1)
-    else:
-        idx = build_index([("scale_synth", np.asarray(g))])
-        costs["index_build_s"] = round(time.time() - t0, 1)
-        costs["index_build_rss_gb"] = round(rss_gb(), 1)
-        t0 = time.time()
-        idx.save(cache)
-        costs["index_save_s"] = round(time.time() - t0, 1)
-
-    t0 = time.time()
-    aln = Aligner(idx, MemOptions(),
-                  lut_cache=build_dir / f"scale_lut_hard_{glen}.npz")
+    aln = Aligner(idx, MemOptions(), lut_cache=SC.lut_cache_path(mbp))
     costs["aligner_init_s"] = round(time.time() - t0, 1)  # LUT + device put
 
     # simulate from the raw genome codes (N runs included) — no 2*l_pac

@@ -118,7 +118,9 @@ def kernel_sweep():
     # --- production-batch N: tile sizing is N-dependent, and a tile that
     # only materializes at large N can exceed the scoped-VMEM limit (the
     # r4 bench OOMed at tile=976 while this sweep's n=100 passed) ---
-    for (NB, Q, T) in ((4500, 100, 290), (2100, 151, 640)):
+    # the third row pins the SE-250 envelope: the biggest tile for the
+    # Q=256 LANES at the largest production T only materializes at large N
+    for (NB, Q, T) in ((4500, 100, 290), (2100, 151, 640), (1300, 256, 1024)):
         qs, qlen, ts, tlen = gen_tasks(NB, n=NB, maxq=Q, maxt=T)
         valid = jnp.ones(len(qlen), bool)
         h0 = jnp.asarray(np.random.default_rng(NB).integers(

@@ -87,7 +87,8 @@ def test_multihost_se_matches_single(world):
     for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
               "JAX_PROCESS_ID"):
         env1.pop(k)
-    r = run_cli(["align", "--oracle", "--platform", "cpu",
+    # --se: two positional FASTQs now default to bwa-style mate-pair mode
+    r = run_cli(["align", "--oracle", "--platform", "cpu", "--se",
                  str(d / "ref.npz"), str(d / "a.fq"), str(d / "b.fq"),
                  "-o", str(d / "single.sam")], env=env1)
     assert r.returncode == 0, r.stderr[-2000:]

@@ -80,3 +80,47 @@ def test_cli_shard_resume(tmp_path):
     merge_shards([sd / "header.sam"] + shards, out)
     text = out.read_text()
     assert text.count("\n") == 3 + 20  # header lines + records
+
+
+def test_cli_two_file_pe(tmp_path):
+    """bwa-mem style `align idx r1.fq r2.fq` == interleaved -p output."""
+    import subprocess, sys, os
+    idx, orc, fwd = make_world()
+    fa = tmp_path / "g.fa"
+    fa.write_text(">cA\n" + dna.decode(fwd[:5000]) + "\n>cB\n" +
+                  dna.decode(fwd[5000:]) + "\n")
+    pe = fastx.simulate_reads(fwd, 24, read_len=100, paired=True, seed=3,
+                              insert_mean=300, insert_std=30)
+    fq1 = tmp_path / "r_1.fq"
+    fq2 = tmp_path / "r_2.fq"
+    fqi = tmp_path / "r_i.fq"
+    fastx.write_fastq(fq1, pe[0::2])
+    fastx.write_fastq(fq2, pe[1::2])
+    fastx.write_fastq(fqi, pe)
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [str(__import__("pathlib").Path(__file__).parents[1])] +
+        os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    npz = tmp_path / "g.npz"
+    r = subprocess.run([sys.executable, "-m", "tpubwa", "index", str(fa),
+                        "-o", str(npz)], env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr
+    base = [sys.executable, "-m", "tpubwa", "align", str(npz), "--oracle",
+            "--platform", "cpu", "--batch-size", "16"]
+    o2 = tmp_path / "two.sam"
+    oi = tmp_path / "inter.sam"
+    r = subprocess.run(base + [str(fq1), str(fq2), "-o", str(o2)],
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "paired-end mate mode" in r.stderr
+    r = subprocess.run(base + ["-p", str(fqi), "-o", str(oi)],
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert o2.read_text() == oi.read_text()
+    # --se forces single-end on two files
+    ose = tmp_path / "se.sam"
+    r = subprocess.run(base + ["--se", str(fq1), str(fq2), "-o", str(ose)],
+                       env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    flags = [int(l.split("\t")[1]) for l in ose.read_text().splitlines()
+             if not l.startswith("@")]
+    assert all(f & 0x1 == 0 for f in flags)

@@ -177,11 +177,26 @@ def seeds_from_smems(didx: DeviceIndex, smems: dict, cfg: ChainConfig):
 
 @partial(jax.jit, static_argnums=(2,))
 def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
-    """mem_chain: sequential insertion of seeds into pos-keyed chains."""
+    """mem_chain: sequential insertion of seeds into pos-keyed chains.
+
+    The insertion loop is dispatch-bound (a few small (B, C) kernels per
+    seed slot), so UNROLL seed slots per while iteration: the body is a
+    no-op for invalid slots (all update masks carry sv), making body∘body
+    exact. Per-seed arrays are padded by UNROLL columns so the last
+    group's dynamic slices stay in bounds.
+    """
+    UNROLL = 4
     rbeg, qbeg, ln, valid = (seeds[x] for x in ("rbeg", "qbeg", "len",
                                                 "valid"))
     rid_s = seeds["rid"]
     B, S = rbeg.shape
+    padc = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((B, UNROLL), fill, a.dtype)], axis=1)
+    rbeg = padc(rbeg, 0)
+    qbeg = padc(qbeg, 0)
+    ln = padc(ln, 0)
+    valid = padc(valid, False)
+    rid_s = padc(rid_s, -1)
     C = cfg.max_chains
     zi = lambda: jnp.zeros((B, C), jnp.int32)
     zp = lambda: jnp.zeros((B, C), rbeg.dtype)   # text-position fields
@@ -189,7 +204,7 @@ def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
         pos=zp(), rid=zi() - 1, first_qb=zi(), first_rb=zp(), last_qb=zi(),
         last_rb=zp(), last_len=zi(), end_q=zi(), w_q=zi(), end_r=zp(),
         w_r=zi(), n=jnp.zeros((B,), jnp.int32),
-        chain_id=jnp.full((B, S), -1, jnp.int32),
+        chain_id=jnp.full((B, S + UNROLL), -1, jnp.int32),
         overflow=seeds["overflow"],
     )
     l_pac = didx.l_pac
@@ -262,11 +277,17 @@ def chain_seeds(didx: DeviceIndex, seeds: dict, cfg: ChainConfig):
     # dynamic trip count: slots past the last valid seed in the whole batch
     # are no-ops — don't pay for the (B,C) body there
     jmax = jnp.max(jnp.where(
-        valid, jnp.arange(S, dtype=jnp.int32)[None, :] + 1, 0))
-    st = jax.lax.while_loop(
-        lambda c: c[0] < jmax,
-        lambda c: (c[0] + 1, body(c[0], c[1])),
-        (jnp.int32(0), st))[1]
+        valid, jnp.arange(S + UNROLL, dtype=jnp.int32)[None, :] + 1, 0))
+
+    def group(c):
+        j, s = c
+        for u in range(UNROLL):
+            s = body(j + u, s)
+        return j + UNROLL, s
+
+    st = jax.lax.while_loop(lambda c: c[0] < jmax, group,
+                            (jnp.int32(0), st))[1]
+    st["chain_id"] = st["chain_id"][:, :S]
     st["weight"] = jnp.minimum(
         jnp.minimum(st["w_q"], st["w_r"]), jnp.int32(2**30 - 1))
     return st
@@ -290,11 +311,18 @@ def chain_filter(chains: dict, cfg: ChainConfig):
     order = jnp.lexsort((beg, chains["pos"], -w), axis=1).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, order, axis=1)
     w_s, beg_s, end_s = take(w), take(beg), take(end)
+    # pad UNROLL columns of invalid chains so the unrolled loop's dynamic
+    # column accesses stay in bounds (padded slots have w=-1 -> never
+    # valid, never kept, no effect on the overlap scan)
+    UNROLL = 2
+    padc = lambda a, fill: jnp.concatenate(
+        [a, jnp.full((B, UNROLL), fill, a.dtype)], axis=1)
+    w_s, beg_s, end_s = padc(w_s, -1), padc(beg_s, 0), padc(end_s, 0)
     valid_s = w_s >= jnp.maximum(cfg.min_chain_weight, 0)
-    idxs = jnp.arange(C, dtype=jnp.int32)[None, :]
+    idxs = jnp.arange(C + UNROLL, dtype=jnp.int32)[None, :]
 
     kept = jnp.where(valid_s & (idxs == 0), 3, 0)
-    first = jnp.full((B, C), -1, jnp.int32)
+    first = jnp.full((B, C + UNROLL), -1, jnp.int32)
 
     def body(i, carry):
         kept, first = carry
@@ -324,8 +352,10 @@ def chain_filter(chains: dict, cfg: ChainConfig):
     imax = jnp.max(chains["n"])
     kept, first = jax.lax.while_loop(
         lambda c: c[0] < imax,
-        lambda c: (c[0] + 1,) + tuple(body(c[0], c[1:])),
+        lambda c: (c[0] + UNROLL,) + tuple(
+            body(c[0] + 1, body(c[0], c[1:]))),
         (jnp.int32(1), kept, first))[1:]
+    kept, first = kept[:, :C], first[:, :C]
     # chains pointed at by a kept chain's `first` become shadowed (kept=1),
     # unconditionally, as in bwa
     src = (kept >= 2) & (first >= 0)

@@ -31,10 +31,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     pa = sub.add_parser("align", help="align FASTQ reads, write SAM")
     pa.add_argument("index", help=".npz index from `tpubwa index`")
-    pa.add_argument("fastq", nargs="+")
+    pa.add_argument("fastq", nargs="+",
+                    help="FASTQ file(s); exactly two files = paired-end "
+                         "mates (bwa-mem style `reads_1.fq reads_2.fq`) "
+                         "unless --se/--multihost is given")
     pa.add_argument("-o", "--output", default="-", help="SAM path (- stdout)")
     pa.add_argument("-p", "--paired", action="store_true",
                     help="interleaved paired-end input")
+    pa.add_argument("--se", action="store_true",
+                    help="force single-end even with two input files")
     pa.add_argument("--batch-size", type=int, default=4096)
     pa.add_argument("--oracle", action="store_true",
                     help="use the scalar host oracle instead of the device")
@@ -114,6 +119,16 @@ def cmd_align(a) -> int:
     from .io.fastx import batch_reads, iter_fastq
     from .pipeline import Aligner
 
+    # bwa-mem style two-file paired mode: `align idx r1.fq r2.fq`
+    # (multihost shards whole FILES round-robin per host, which is
+    # incompatible with mate zipping — use interleaved -p there)
+    pe2 = (not a.paired and not a.se and not a.multihost
+           and len(a.fastq) == 2)
+    if pe2:
+        a.paired = True
+        print("[tpubwa align] two input files: paired-end mate mode "
+              "(use --se to force single-end)", file=sys.stderr)
+
     opt = opts_from_args(a)
     if a.paired:
         opt = opt.replace(flag=opt.flag | MemOptions.F_PE)
@@ -167,14 +182,29 @@ def cmd_align(a) -> int:
         if out is not None:
             out.write(aln.sam_header())
 
+        def rec_iter():
+            if pe2:
+                from itertools import zip_longest
+                it = zip_longest(iter_fastq(a.fastq[0]),
+                                 iter_fastq(a.fastq[1]))
+                for i, (r1, r2) in enumerate(it):
+                    if r1 is None or r2 is None:
+                        raise SystemExit(
+                            f"error: mate files differ in length "
+                            f"(record {i})")
+                    yield r1
+                    yield r2
+            else:
+                for path in a.fastq:
+                    yield from iter_fastq(path)
+
         def batch_iter():
             pend = []
-            for path in a.fastq:
-                for rec in iter_fastq(path):
-                    pend.append(rec)
-                    if len(pend) >= flush_at:
-                        yield batch_reads(pend)
-                        pend = []
+            for rec in rec_iter():
+                pend.append(rec)
+                if len(pend) >= flush_at:
+                    yield batch_reads(pend)
+                    pend = []
             if pend:
                 yield batch_reads(pend)
 
@@ -244,12 +274,11 @@ def cmd_align(a) -> int:
             batch_no += 1
             pending.clear()
 
-        for path in a.fastq:
-            for rec in iter_fastq(path):
-                pending.append(rec)
-                if len(pending) >= a.batch_size and \
-                        (not a.paired or len(pending) % 2 == 0):
-                    flush()
+        for rec in rec_iter():
+            pending.append(rec)
+            if len(pending) >= a.batch_size and \
+                    (not a.paired or len(pending) % 2 == 0):
+                flush()
         flush()
     finally:
         if out is not None and out is not sys.stdout:

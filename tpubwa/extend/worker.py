@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..index.device import DeviceIndex, text_base
 from ..ops.window import (query_window_asc, query_window_desc,
                           text_window_asc, text_window_desc)
+from ..seed.lut import _compact_rows, _join64, _split64
 from .jax_extend import ksw_extend_batch
 
 NEG31 = -(2**31) + 1
@@ -47,6 +48,13 @@ class ExtendConfig:
     full_rounds: int = 1      # full-width extension rounds before the tail
     #                           (2 on repeat-rich large genomes, where most
     #                           reads extend a second chain)
+    # -- task-parallel engine (the default): ALL candidate extensions are
+    # precomputed in two flat kernel batches and the exact visit order is
+    # replayed kernel-free; the round engine above remains for the
+    # big-caps tier (unbounded extensions/read) and as an A/B reference
+    task_parallel: bool = True
+    cand_rows: int = 1        # candidate task budget: B // cand_rows
+    retry_rows: int = 8       # compacted band-retry sub-batch: B // retry_rows
 
 
 def cal_max_gap(cfg: ExtendConfig, qlen):
@@ -67,9 +75,10 @@ def _seq_window(didx: DeviceIndex, start, length, cap: int):
     return jnp.where(ok, base, 4)
 
 
-@partial(jax.jit, static_argnums=(5,))
+@partial(jax.jit, static_argnums=(5, 7))
 def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
-                  cfg: ExtendConfig, flt: dict | None = None):
+                  cfg: ExtendConfig, flt: dict | None = None,
+                  _stop_after: str = ""):
     """Run mem_chain2aln for all kept chains of all reads.
 
     seqs: (B, L) int32; lens: (B,); seeds/chains/flt from tpubwa.chain.device.
@@ -144,7 +153,7 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     ctx = dict(pair_order=pair_order, n_pairs=n_pairs, qbeg_s=qbeg_s,
                rbeg_s=rbeg_s, len_s=len_s, cid_s=cid_s,
                rmax0=rmax0, rmax1=rmax1, crid=chains["rid"],
-               seqs=seqs, lens=lens)
+               seqs=seqs, lens=lens, seed_rank=seed_rank)
 
     st = dict(
         ptr=jnp.zeros((B,), jnp.int32),
@@ -164,23 +173,32 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
     )
 
     sel_cond, sel_body, run_extension, act_fn = _engine(didx, cfg, ctx)
+    if _stop_after == "pre":
+        return st
+    if cfg.task_parallel:
+        return _extend_taskpar(didx, cfg, ctx, st, _stop_after)
 
     # ---- full-width rounds: round 1 extends virtually every read once;
     # on repeat-rich genomes a second round catches the common
     # second-chain extension before the compacted tail ----
     for _ in range(max(cfg.full_rounds, 1)):
         st = jax.lax.while_loop(sel_cond, sel_body, st)
+        if _stop_after == "sel1":
+            return st
         st = jax.lax.cond(jnp.any(act_fn(st)), run_extension,
                           lambda s: s, st)
+    if _stop_after == "round1":
+        return st
     # advance past seeds the full-round regions now contain (VPU-only), so
     # only reads that truly need another EXTENSION enter the tail
     st = jax.lax.while_loop(sel_cond, sel_body, st)
+    if _stop_after == "sel2":
+        return st
 
     # ---- tail rounds: reads with >1 surviving extension task are rare
     # (typically <1%: a second chain, or a seed the containment test kept),
     # so the remaining rounds run on a row-compacted sub-batch instead of
     # re-running full-width kernels until the slowest read finishes ----
-    from ..seed.lut import _compact_rows
     Dr = min(max(B // cfg.tail_rows, 32), B)
     active = st["ptr"] < n_pairs
     srcrow, rpos, room, dv = _compact_rows(active, Dr)
@@ -204,6 +222,384 @@ def extend_chains(didx: DeviceIndex, seqs, lens, seeds: dict, chains: dict,
         v = sub_st[k2][rp]
         st[k2] = jnp.where(sel if st[k2].ndim == 1 else sel[:, None],
                            v, st[k2])
+    return st
+
+
+def _row_pick(arr, col):
+    """arr[b, col[b]] via one-hot select — XLA per-offset gather cost
+    (~40-150ns/offset) makes a (B,) gather pricier than a (B, S) VPU
+    mask-sum."""
+    s_iota = jnp.arange(arr.shape[1], dtype=jnp.int32)[None, :]
+    oh = s_iota == col[:, None]
+    return jnp.sum(jnp.where(oh, arr, 0), axis=1, dtype=arr.dtype)
+
+
+def _kernel_call(cfg: ExtendConfig, q, ql, t, tl, h, eb: int, aw: int, act):
+    """One banded-extension kernel invocation at width q.shape[0]."""
+    B = q.shape[0]
+    if cfg.use_pallas:
+        from ..ops.sw_pallas import ksw_extend_pallas
+        o = ksw_extend_pallas(
+            q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+            jnp.full((B,), eb, jnp.int32), act,
+            cfg.o_del, cfg.e_del, cfg.o_ins, cfg.e_ins,
+            cfg.zdrop, cfg.a, cfg.b)
+        return tuple(o[:, c] for c in range(6))
+    return ksw_extend_batch(
+        q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
+        jnp.full((B,), eb, jnp.int32), act,
+        jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
+        cfg.o_ins, cfg.e_ins, cfg.zdrop)
+
+
+def _run_try(cfg: ExtendConfig, q, ql, t, tl, h, eb: int, act, prev0):
+    """bwa's band-doubling retry loop: try i+1 runs only if try i changed
+    the score (vs the score entering the try) AND its max_off >= aw/2 +
+    aw/4. prev0 is the score entering try 0 (-1 for left extension, the
+    post-left score for right).
+
+    Retrying lanes are a small minority, so the doubled-band kernel runs
+    on a row-compacted sub-batch (B // retry_rows); lanes that don't fit
+    are covered by a cond-guarded full-width call (rare)."""
+    B = q.shape[0]
+    aw0 = cfg.w
+    sc, qle, tle, gtle, gsc, moff = _kernel_call(cfg, q, ql, t, tl, h, eb,
+                                                 aw0, act)
+    used_w = jnp.full((B,), aw0, jnp.int32)
+    prev_sc = prev0
+    for i in range(1, cfg.max_band_try):
+        aw1 = cfg.w << i
+        retry = act & (sc != prev_sc) & \
+            (moff >= (aw0 >> 1) + (aw0 >> 2))
+        if cfg.retry_rows > 1 and B >= 256:
+            Dr = min(max(B // cfg.retry_rows, 32), B)
+            srcrow, rpos, room, dv = _compact_rows(retry, Dr)
+            actc = dv & retry[srcrow]
+
+            def go_c(sr=srcrow, am=actc, aw=aw1):
+                return jnp.stack(_kernel_call(
+                    cfg, q[sr], ql[sr], t[sr], tl[sr], h[sr], eb, aw, am),
+                    axis=1)
+
+            resc = jax.lax.cond(jnp.any(actc), go_c,
+                                lambda: jnp.zeros((Dr, 6), jnp.int32))
+            back = resc[jnp.clip(rpos, 0, Dr - 1)]
+            covered = retry & room
+            left = retry & ~room
+            res_f = jax.lax.cond(
+                jnp.any(left),
+                lambda r=left, aw=aw1: jnp.stack(
+                    _kernel_call(cfg, q, ql, t, tl, h, eb, aw, r), axis=1),
+                lambda: jnp.zeros((B, 6), jnp.int32))
+            res2 = jnp.where(covered[:, None], back, res_f)
+        else:
+            res2 = jax.lax.cond(
+                jnp.any(retry),
+                lambda r=retry, aw=aw1: jnp.stack(
+                    _kernel_call(cfg, q, ql, t, tl, h, eb, aw, r), axis=1),
+                lambda: jnp.zeros((B, 6), jnp.int32))
+        sc2, qle2, tle2, gtle2, gsc2, moff2 = (
+            res2[:, c] for c in range(6))
+        prev_sc = sc
+        sc = jnp.where(retry, sc2, sc)
+        qle = jnp.where(retry, qle2, qle)
+        tle = jnp.where(retry, tle2, tle)
+        gtle = jnp.where(retry, gtle2, gtle)
+        gsc = jnp.where(retry, gsc2, gsc)
+        moff = jnp.where(retry, moff2, moff)
+        used_w = jnp.where(retry, aw1, used_w)
+        aw0 = aw1
+    return sc, qle, tle, gtle, gsc, used_w
+
+
+def _compute_ext(didx: DeviceIndex, cfg: ExtendConfig, seqs, lens,
+                 sqb, srb, sln, r0, r1, active):
+    """Left+right banded extension for one flat task batch (any width).
+
+    A task = (read row, seed, chain rmax window); the result depends ONLY
+    on these inputs — never on previously pushed regions — which is what
+    makes the precompute+replay engine exact. Mirrors the per-seed body of
+    [bwa: bwamem.c :: mem_chain2aln] (left ext with h0 = seedlen*a, right
+    ext seeded with the left score, band-doubling retries, clip-vs-to-end
+    decision).
+
+    Returns dict: qb, rb, qe, re, score, truesc, w  (per task).
+    """
+    B, L = seqs.shape
+    WREF = L + 2 * cal_max_gap(cfg, L)
+    qi = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ti = jnp.arange(WREF, dtype=jnp.int32)[None, :]
+
+    # ---- left extension: reversed query prefix / reversed ref window
+    do_l = active & (sqb > 0)
+    lq_len = jnp.where(do_l, sqb, 0)
+    # window lengths are < WREF — int32 regardless of position width
+    lt_len = jnp.where(do_l, srb - r0, 0).astype(jnp.int32)
+    lq = jnp.where(qi < lq_len[:, None],
+                   query_window_desc(seqs, sqb, L), 4)
+    lt = jnp.where(ti < lt_len[:, None],
+                   text_window_desc(didx, srb, WREF), 4)
+    h0 = sln * cfg.a
+    lsc, lqle, ltle, lgtle, lgsc, lw = _run_try(
+        cfg, lq, lq_len, lt, lt_len, h0, cfg.pen_clip5, do_l,
+        jnp.full((B,), -1, jnp.int32))
+    to_end_l = do_l & (lgsc > 0) & (lgsc > lsc - cfg.pen_clip5)
+    # note bwa: local if gscore <= 0 or gscore <= score - pen_clip
+    qb_new = jnp.where(do_l, jnp.where(to_end_l, 0, sqb - lqle), 0)
+    rb_new = jnp.where(do_l,
+                       jnp.where(to_end_l, srb - lgtle, srb - ltle),
+                       srb)
+    score_l = jnp.where(do_l, lsc, sln * cfg.a)
+    truesc_l = jnp.where(do_l, jnp.where(to_end_l, lgsc, lsc),
+                         sln * cfg.a)
+    aw_l = jnp.where(do_l, lw, cfg.w)
+
+    # ---- right extension
+    qe0 = sqb + sln
+    do_r = active & (qe0 != lens)
+    rq_len = jnp.where(do_r, lens - qe0, 0)
+    rt_len = jnp.where(do_r, r1 - (srb + sln), 0).astype(jnp.int32)
+    rq = jnp.where(qi < rq_len[:, None],
+                   query_window_asc(seqs, qe0, L), 4)
+    rt = jnp.where(ti < rt_len[:, None],
+                   text_window_asc(didx, srb + sln, WREF), 4)
+    rsc, rqle, rtle, rgtle, rgsc, rw = _run_try(
+        cfg, rq, rq_len, rt, rt_len, score_l, cfg.pen_clip3, do_r, score_l)
+    to_end_r = do_r & (rgsc > 0) & (rgsc > rsc - cfg.pen_clip3)
+    # no right extension -> qe = l_query (seed already reaches the end)
+    qe_new = jnp.where(do_r, jnp.where(to_end_r, lens, qe0 + rqle), lens)
+    re_new = jnp.where(do_r,
+                       jnp.where(to_end_r, srb + sln + rgtle,
+                                 srb + sln + rtle),
+                       srb + sln)
+    score_f = jnp.where(do_r, rsc, score_l)
+    truesc_f = truesc_l + jnp.where(
+        do_r, jnp.where(to_end_r, rgsc, rsc) - score_l, 0)
+    aw_r = jnp.where(do_r, rw, cfg.w)
+    return dict(qb=qb_new, rb=rb_new, qe=qe_new, re=re_new, score=score_f,
+                truesc=truesc_f, w=jnp.maximum(aw_l, aw_r))
+
+
+def _seedcov(qbeg_r, rbeg_r, len_r, cid_r, scid, qb, qe, rb, re):
+    """Sum of lengths of the chain's stored seeds fully inside the region
+    box — rows are per task (any width)."""
+    incov = (cid_r >= 0) & (cid_r == scid[:, None]) & \
+        (qbeg_r >= qb[:, None]) & (qbeg_r + len_r <= qe[:, None]) & \
+        (rbeg_r >= rb[:, None]) & (rbeg_r + len_r <= re[:, None])
+    return jnp.where(incov, len_r, 0).sum(axis=1, dtype=jnp.int32)
+
+
+def _extend_taskpar(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict, st,
+                    _stop_after: str = ""):
+    """Precompute-then-replay engine (the production tier-1 path).
+
+    Exactness argument: a seed's extension result depends only on (seed,
+    chain rmax) — never on previously pushed regions — so every extension
+    the scalar order could need can be computed ahead of the sequential
+    walk.  The walk's only sequential decision is WHICH seeds get pushed:
+    skip(seed) = contained-in-some-reg & ~rescue, where `contained` is
+    monotone INcreasing and `rescue` monotone DEcreasing in (regs so far,
+    seeds skipped so far).  Phase 2 therefore evaluates skip against the
+    minimal state (round-1 regs only, empty skipped set), which UNDER-
+    skips: the candidate set is a superset of the seeds the exact replay
+    extends.  Phase 4 replays the exact [bwa: bwamem.c :: mem_chain2aln]
+    visit order kernel-free, pushing precomputed results; a missing
+    precompute (candidate budget overflow) flags the read for the host
+    oracle, trading throughput, never correctness.
+
+    Phases:
+      1. first-seed extension for every read (one flat kernel batch);
+      2. optimistic candidate mask over all (read, seed) pairs;
+      3. candidate extensions (second flat kernel batch, row-compacted);
+      4. kernel-free exact replay (containment/rescue machinery of
+         _engine + precomputed pushes).
+    """
+    pair_order, n_pairs = ctx["pair_order"], ctx["n_pairs"]
+    qbeg_s, rbeg_s, len_s = ctx["qbeg_s"], ctx["rbeg_s"], ctx["len_s"]
+    cid_s = ctx["cid_s"]
+    rmax0, rmax1 = ctx["rmax0"], ctx["rmax1"]
+    crid = ctx["crid"]
+    seqs, lens = ctx["seqs"], ctx["lens"]
+    B, L = seqs.shape
+    S = qbeg_s.shape[1]
+    C = rmax0.shape[1]
+    R = cfg.max_regs
+    stored = cid_s >= 0
+    rows32 = jnp.arange(B, dtype=jnp.int32)
+    s_iota = jnp.arange(S, dtype=jnp.int32)[None, :]
+    pos_dt = rbeg_s.dtype
+
+    # ---- phase 1: the first seed in processing order, every read ----
+    slot0 = jnp.clip(pair_order[:, 0], 0, S - 1)
+    active0 = n_pairs > 0
+    sqb0 = _row_pick(qbeg_s, slot0)
+    srb0 = _row_pick(rbeg_s, slot0)
+    sln0 = _row_pick(len_s, slot0)
+    scid0 = _row_pick(cid_s, slot0)
+    scid0c = jnp.clip(scid0, 0, C - 1)
+    r0_0 = _row_pick(rmax0, scid0c)
+    r1_0 = _row_pick(rmax1, scid0c)
+    ext0 = _compute_ext(didx, cfg, seqs, lens, sqb0, srb0, sln0,
+                        r0_0, r1_0, active0)
+    cov0 = _seedcov(qbeg_s, rbeg_s, len_s, cid_s, scid0,
+                    ext0["qb"], ext0["qe"], ext0["rb"], ext0["re"])
+    rid0 = _row_pick(crid, scid0c)
+    if _stop_after == "tp1":
+        st = dict(st)
+        st["rb"] = st["rb"] + ext0["rb"][:, None]
+        return st
+
+    # ---- phase 2: optimistic candidate mask (superset — see above) ----
+    # containment of every stored seed vs the round-1 region only
+    rb0, re0 = ext0["rb"], ext0["re"]
+    qb0, qe0 = ext0["qb"], ext0["qe"]
+    w0 = ext0["w"]
+    cont = (rbeg_s >= rb0[:, None]) & (rbeg_s + len_s <= re0[:, None]) & \
+        (qbeg_s >= qb0[:, None]) & (qbeg_s + len_s <= qe0[:, None])
+    len_ok = (len_s - sln0[:, None]) * 10 <= lens[:, None]
+    qd = qbeg_s - qb0[:, None]
+    rd = rbeg_s - rb0[:, None]
+    ww = jnp.minimum(cal_max_gap(cfg, jnp.minimum(qd, rd)), w0[:, None])
+    front = (qd - rd < ww) & (rd - qd < ww)
+    qd2 = qe0[:, None] - (qbeg_s + len_s)
+    rd2 = re0[:, None] - (rbeg_s + len_s)
+    ww2 = jnp.minimum(cal_max_gap(cfg, jnp.minimum(qd2, rd2)), w0[:, None])
+    back = (qd2 - rd2 < ww2) & (rd2 - qd2 < ww2)
+    around0 = active0[:, None] & cont & len_ok & (front | back)
+
+    # pairwise rescue scan with the skipped set empty (superset):
+    # diagonal inequality via exact (hi, lo) int32 halves — the (B, S, S)
+    # cube stays int32/bool even on int64 genomes
+    diag = rbeg_s - qbeg_s
+    d_hi, d_lo = _split64(diag.astype(jnp.int64))
+    diag_neq = (d_hi[:, :, None] != d_hi[:, None, :]) | \
+        (d_lo[:, :, None] != d_lo[:, None, :])
+    t_len = len_s[:, None, :]
+    t_qb = qbeg_s[:, None, :]
+    s_ln = len_s[:, :, None]
+    s_qb = qbeg_s[:, :, None]
+    longer = (t_len > s_ln) | ((t_len == s_ln) &
+                               (s_iota[:, None, :] > s_iota[:, :, None]))
+    same_chain = stored[:, None, :] & \
+        (cid_s[:, None, :] == cid_s[:, :, None])
+    c1 = (s_qb <= t_qb) & (s_qb + s_ln - t_qb >= (s_ln >> 2)) & diag_neq
+    c2 = (t_qb <= s_qb) & (t_qb + t_len - s_qb >= (s_ln >> 2)) & diag_neq
+    thr = t_len * 100 >= s_ln * 95
+    rescue0 = (same_chain & longer & thr & (c1 | c2)).any(axis=2)
+
+    seed_rank = ctx["seed_rank"]
+    first_oh = active0[:, None] & (s_iota == slot0[:, None])
+    cand = stored & (seed_rank < C) & (~around0 | rescue0) & ~first_oh
+    if _stop_after == "tp2":
+        st = dict(st)
+        st["n"] = st["n"] + cand.sum(axis=1, dtype=jnp.int32)
+        return st
+
+    # ---- phase 3: flat candidate task batch ----
+    K = max(B // cfg.cand_rows, 64)
+    flat_cand = cand.reshape(-1)
+    cs = jnp.cumsum(flat_cand.astype(jnp.int32))
+    tpos = cs - 1
+    fits = flat_cand & (tpos < K)
+    st = dict(st)
+    st["overflow"] = st["overflow"] | \
+        (cand & ~fits.reshape(B, S)).any(axis=1)
+    src = jnp.searchsorted(cs, jnp.arange(1, K + 1, dtype=jnp.int32)) \
+        .astype(jnp.int32)
+    srcc = jnp.clip(src, 0, B * S - 1)
+    tvalid = jnp.arange(K, dtype=jnp.int32) < cs[-1]
+    srow = srcc // S
+    sslot = srcc % S
+    # per-task scalars: ONE packed row gather (int64 fields ride as halves)
+    rb_hi, rb_lo = _split64(rbeg_s.astype(jnp.int64))
+    packed_in = jnp.stack([qbeg_s, len_s, cid_s, rb_hi, rb_lo],
+                          axis=-1).reshape(B * S, 5)
+    tk = packed_in[srcc]
+    sqb_t, sln_t, scid_t = tk[:, 0], tk[:, 1], tk[:, 2]
+    srb_t = _join64(tk[:, 3], tk[:, 4]).astype(pos_dt)
+    scid_tc = jnp.clip(scid_t, 0, C - 1)
+    r0_t = rmax0.reshape(-1)[srow * C + scid_tc]
+    r1_t = rmax1.reshape(-1)[srow * C + scid_tc]
+    rid_t = crid.reshape(-1)[srow * C + scid_tc]
+    seqs_t = seqs[srow]
+    lens_t = lens[srow]
+    # candidate tasks skew repeat-heavy: band-retry rates are far above
+    # the first-seed batch's, so give the compacted retry more rows
+    cfg3 = dataclasses.replace(cfg, retry_rows=min(cfg.retry_rows, 4))
+    ext3 = _compute_ext(didx, cfg3, seqs_t, lens_t, sqb_t, srb_t, sln_t,
+                        r0_t, r1_t, tvalid)
+    cov3 = _seedcov(qbeg_s[srow], rbeg_s[srow], len_s[srow], cid_s[srow],
+                    scid_t, ext3["qb"], ext3["qe"], ext3["rb"], ext3["re"])
+
+    # ---- scatter both phases into the (B*S, 12) precompute table ----
+    def pack_rows(ext, cov, sln_v, rid_v, width):
+        hi, lo = _split64(ext["rb"].astype(jnp.int64))
+        return jnp.stack([
+            hi, lo, (ext["re"] - ext["rb"]).astype(jnp.int32),
+            ext["qb"], ext["qe"], ext["score"], ext["truesc"], ext["w"],
+            cov, sln_v, rid_v, jnp.ones((width,), jnp.int32)], axis=1)
+
+    rows0 = pack_rows(ext0, cov0, sln0, rid0, B)
+    rows3 = pack_rows(ext3, cov3, sln_t, rid_t, K)
+    idx0 = jnp.where(active0, rows32 * S + slot0, B * S)
+    idx3 = jnp.where(tvalid, srcc, B * S)
+    pre = jnp.zeros((B * S, 12), jnp.int32) \
+        .at[idx0].set(rows0, mode="drop") \
+        .at[idx3].set(rows3, mode="drop")
+    if _stop_after == "tp3":
+        st["rb"] = st["rb"] + pre[:, 1].reshape(B, S)[:, :1]
+        return st
+
+    # ---- phase 4: exact kernel-free replay ----
+    sel_cond, sel_body, _, act_fn = _engine(didx, cfg, ctx)
+    r_iota = jnp.arange(R, dtype=jnp.int32)[None, :]
+
+    def push_pre(stt):
+        p = jnp.clip(stt["ptr"], 0, S - 1)
+        slot = _row_pick(pair_order, p)
+        active = stt["ptr"] < n_pairs
+        fidx = jnp.clip(rows32 * S + slot, 0, B * S - 1)
+        v = pre[fidx]
+        have = (v[:, 11] > 0) & active
+        rb = _join64(v[:, 0], v[:, 1]).astype(pos_dt)
+        re = rb + v[:, 2]
+        room = stt["n"] < R
+        do = have & room
+        stt = dict(stt)
+        stt["overflow"] = stt["overflow"] | (active & ~have) | \
+            (have & ~room)
+        tgt = jnp.where(do, stt["n"], R)
+        oh_tgt = r_iota == tgt[:, None]
+
+        def put(name, val):
+            stt[name] = jnp.where(
+                oh_tgt, val[:, None].astype(stt[name].dtype), stt[name])
+        put("rb", rb)
+        put("re", re)
+        put("qb", v[:, 3])
+        put("qe", v[:, 4])
+        put("score", v[:, 5])
+        put("truesc", v[:, 6])
+        put("w", v[:, 7])
+        put("seedcov", v[:, 8])
+        put("seedlen0", v[:, 9])
+        put("cid", _row_pick(cid_s, slot))
+        put("rid", v[:, 10])
+        stt["n"] = stt["n"] + do.astype(jnp.int32)
+        stt["ptr"] = stt["ptr"] + active.astype(jnp.int32)
+        return stt
+
+    def replay_body(stt):
+        # 2 skip-advances per iteration: sel_body is a no-op for reads
+        # whose current seed isn't skippable, so body∘body is exact and
+        # halves the dispatch-bound loop overhead
+        stt = jax.lax.while_loop(sel_cond,
+                                 lambda s: sel_body(sel_body(s)), stt)
+        return jax.lax.cond(jnp.any(act_fn(stt)), push_pre,
+                            lambda s: s, stt)
+
+    st = jax.lax.while_loop(lambda s: jnp.any(s["ptr"] < n_pairs),
+                            replay_body, st)
     return st
 
 
@@ -309,112 +705,11 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
         scid = jnp.clip(row_pick(cid_s, slot), 0, C - 1)
         r0 = chain_pick(rmax0, scid)
         r1 = chain_pick(rmax1, scid)
-
-        # ---- left extension: reversed query prefix / reversed ref window
-        do_l = active & (sqb > 0)
-        lq_len = jnp.where(do_l, sqb, 0)
-        # window lengths are < WREF — int32 regardless of position width
-        lt_len = jnp.where(do_l, srb - r0, 0).astype(jnp.int32)
-        qi = jnp.arange(L, dtype=jnp.int32)[None, :]
-        lq = jnp.where(qi < lq_len[:, None],
-                       query_window_desc(seqs, sqb, L), 4)
-        ti = jnp.arange(WREF, dtype=jnp.int32)[None, :]
-        lt = jnp.where(ti < lt_len[:, None],
-                       text_window_desc(didx, srb, WREF), 4)
-        h0 = sln * cfg.a
-
-        def run_try(q, ql, t, tl, h, eb, act, prev0):
-            """bwa's band-doubling retry loop: try i+1 runs only if try i
-            changed the score (vs the score entering the try) AND its
-            max_off >= aw/2 + aw/4. prev0 is a->score entering try 0
-            (-1 for left extension, the post-left score for right)."""
-            def run_kernel(aw, act_mask):
-                if cfg.use_pallas:
-                    from ..ops.sw_pallas import ksw_extend_pallas
-                    o = ksw_extend_pallas(
-                        q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
-                        jnp.full((B,), eb, jnp.int32), act_mask,
-                        cfg.o_del, cfg.e_del, cfg.o_ins, cfg.e_ins,
-                        cfg.zdrop, cfg.a, cfg.b)
-                    return tuple(o[:, c] for c in range(6))
-                return ksw_extend_batch(
-                    q, ql, t, tl, h, jnp.full((B,), aw, jnp.int32),
-                    jnp.full((B,), eb, jnp.int32), act_mask,
-                    jnp.asarray(_scmat(cfg)), None, cfg.o_del, cfg.e_del,
-                    cfg.o_ins, cfg.e_ins, cfg.zdrop)
-
-            aw0 = cfg.w
-            sc, qle, tle, gtle, gsc, moff = run_kernel(aw0, act)
-            used_w = jnp.full((B,), aw0, jnp.int32)
-            prev_sc = prev0
-            for i in range(1, cfg.max_band_try):
-                aw1 = cfg.w << i
-                retry = act & (sc != prev_sc) & \
-                    (moff >= (aw0 >> 1) + (aw0 >> 2))
-                # skip the doubled-band kernel entirely when no lane retries
-                res2 = jax.lax.cond(
-                    jnp.any(retry),
-                    lambda r=retry, aw=aw1: jnp.stack(
-                        run_kernel(aw, r), axis=1),
-                    lambda: jnp.zeros((B, 6), jnp.int32))
-                sc2, qle2, tle2, gtle2, gsc2, moff2 = (
-                    res2[:, c] for c in range(6))
-                prev_sc = sc
-                sc = jnp.where(retry, sc2, sc)
-                qle = jnp.where(retry, qle2, qle)
-                tle = jnp.where(retry, tle2, tle)
-                gtle = jnp.where(retry, gtle2, gtle)
-                gsc = jnp.where(retry, gsc2, gsc)
-                moff = jnp.where(retry, moff2, moff)
-                used_w = jnp.where(retry, aw1, used_w)
-                aw0 = aw1
-            return sc, qle, tle, gtle, gsc, used_w
-
-        lsc, lqle, ltle, lgtle, lgsc, lw = run_try(
-            lq, lq_len, lt, lt_len, h0, cfg.pen_clip5, do_l,
-            jnp.full((B,), -1, jnp.int32))
-        to_end_l = do_l & (lgsc > 0) & (lgsc > lsc - cfg.pen_clip5)
-        # note bwa: local if gscore <= 0 or gscore <= score - pen_clip
-        qb_new = jnp.where(do_l, jnp.where(to_end_l, 0, sqb - lqle), 0)
-        rb_new = jnp.where(do_l,
-                           jnp.where(to_end_l, srb - lgtle, srb - ltle),
-                           srb)
-        score_l = jnp.where(do_l, lsc, sln * cfg.a)
-        truesc_l = jnp.where(do_l, jnp.where(to_end_l, lgsc, lsc),
-                             sln * cfg.a)
-        aw_l = jnp.where(do_l, lw, cfg.w)
-
-        # ---- right extension
-        qe0 = sqb + sln
-        do_r = active & (qe0 != lens)
-        rq_len = jnp.where(do_r, lens - qe0, 0)
-        rt_len = jnp.where(do_r, r1 - (srb + sln), 0).astype(jnp.int32)
-        rq = jnp.where(qi < rq_len[:, None],
-                       query_window_asc(seqs, qe0, L), 4)
-        rt = jnp.where(ti < rt_len[:, None],
-                       text_window_asc(didx, srb + sln, WREF), 4)
-        rsc, rqle, rtle, rgtle, rgsc, rw = run_try(
-            rq, rq_len, rt, rt_len, score_l, cfg.pen_clip3, do_r, score_l)
-        to_end_r = do_r & (rgsc > 0) & (rgsc > rsc - cfg.pen_clip3)
-        # no right extension -> qe = l_query (seed already reaches the end)
-        qe_new = jnp.where(do_r, jnp.where(to_end_r, lens, qe0 + rqle), lens)
-        re_new = jnp.where(do_r,
-                           jnp.where(to_end_r, srb + sln + rgtle,
-                                     srb + sln + rtle),
-                           srb + sln)
-        score_f = jnp.where(do_r, rsc, score_l)
-        truesc_f = truesc_l + jnp.where(
-            do_r, jnp.where(to_end_r, rgsc, rsc) - score_l, 0)
-        aw_r = jnp.where(do_r, rw, cfg.w)
-
-        # ---- seedcov over this chain's stored seeds
+        ext = _compute_ext(didx, cfg, seqs, lens, sqb, srb, sln, r0, r1,
+                           active)
         scid_raw = row_pick(cid_s, slot)
-        incov = stored & (cid_s == scid_raw[:, None]) & \
-            (qbeg_s >= qb_new[:, None]) & \
-            (qbeg_s + len_s <= qe_new[:, None]) & \
-            (rbeg_s >= rb_new[:, None]) & \
-            (rbeg_s + len_s <= re_new[:, None])
-        seedcov = jnp.where(incov, len_s, 0).sum(axis=1, dtype=jnp.int32)
+        seedcov = _seedcov(qbeg_s, rbeg_s, len_s, cid_s, scid_raw,
+                           ext["qb"], ext["qe"], ext["rb"], ext["re"])
 
         # ---- push reg
         room = st["n"] < R
@@ -427,13 +722,13 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
         def put(name, val):
             st[name] = jnp.where(oh_tgt, val[:, None].astype(st[name].dtype),
                                  st[name])
-        put("rb", rb_new)
-        put("re", re_new)
-        put("qb", qb_new)
-        put("qe", qe_new)
-        put("score", score_f)
-        put("truesc", truesc_f)
-        put("w", jnp.maximum(aw_l, aw_r))
+        put("rb", ext["rb"])
+        put("re", ext["re"])
+        put("qb", ext["qb"])
+        put("qe", ext["qe"])
+        put("score", ext["score"])
+        put("truesc", ext["truesc"])
+        put("w", ext["w"])
         put("seedcov", seedcov)
         put("seedlen0", sln)
         put("cid", scid_raw)

@@ -233,8 +233,9 @@ def sa_lookup(didx: DeviceIndex, k: jnp.ndarray,
         return jnp.any(live)
 
     k0 = jnp.where(valid, k, 0)
+    # 2 invPsi steps per iteration (body freezes finished lanes)
     kf, steps, _ = jax.lax.while_loop(
-        cond, body, (k0, jnp.zeros_like(k0), valid))
+        cond, lambda s: body(body(s)), (k0, jnp.zeros_like(k0), valid))
     # sample index < (2L+1)/sa_intv < 2**31 for every supported genome
     samp = didx.sa_samples[
         (kf >> int(np.log2(didx.sa_intv))).astype(jnp.int32)]

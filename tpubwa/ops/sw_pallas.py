@@ -46,10 +46,14 @@ def _sort_perm(tlen, valid):
 
 
 def _apply_perm(mat, perm):
-    """Row permutation via an MXU one-hot contraction: XLA's row gather
-    pays a per-offset cost that exceeds the matmul for these shapes.
-    Exact for values < 2^24 (codes <= 4 and int16-range scalars)."""
+    """Row permutation. For small N an MXU one-hot contraction beats XLA's
+    per-offset row-gather cost; the f32 matmul is exact only for values
+    < 2^24 (codes <= 4 and int16-range scalars here). Above the size
+    threshold — where the N x N one-hot would also balloon HBM — use a
+    plain row gather (N offsets), which has no value-range contract."""
     N = mat.shape[0]
+    if N > 4096 or jnp.issubdtype(mat.dtype, jnp.int64):
+        return jnp.take(mat, perm, axis=0)
     oh = (perm[:, None] == jnp.arange(N, dtype=jnp.int32)[None, :]
           ).astype(jnp.float32)
     out = jnp.matmul(oh, mat.astype(jnp.float32),
@@ -364,8 +368,11 @@ def ksw_local_pallas(query, qlen, target, tlen, minsc, valid,
     # to its slowest task, so bigger tiles = proportionally fewer
     # sequential rows): Mosaic's scoped-vmem stack holds ~4 copies of the
     # carries/temps (double-buffered in+out), measured 16B x (8 rows of
-    # LANES + 3 rows of T) per task; target 12 MB of the 16 MB limit
-    tile = _pick_tile(N, (12 << 20) // (16 * (8 * LANES + 3 * T)))
+    # LANES + 3 rows of T) per task; target 12 MB of the 16 MB limit.
+    # The (N, T) imax_arr scratch only exists when want_sub — the rescue
+    # reverse pass (want_sub=False) gets the bigger tiles it can afford
+    t_rows = 3 if want_sub else 2
+    tile = _pick_tile(N, (12 << 20) // (16 * (8 * LANES + t_rows * T)))
     if N % tile:
         pad_n = tile - N % tile
         qpad = jnp.concatenate(

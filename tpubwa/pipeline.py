@@ -269,7 +269,11 @@ class Aligner:
             if isinstance(scfg, LutSeedConfig):
                 scfg = dataclasses.replace(scfg, fm_dense=4,
                                            offdiag_dense=2, r2_rows=1)
-            ecfg = dataclasses.replace(ecfg, tail_rows=1)
+            # tier-2 reads can need up to max_chains extensions each — the
+            # candidate-budget superset of the task-parallel engine would
+            # overflow them; the round engine has no per-read task cap
+            ecfg = dataclasses.replace(ecfg, tail_rows=1,
+                                       task_parallel=False)
             self._packed_big = self._make_packed(scfg, ccfg, ecfg)
         return self._packed_big
 
@@ -295,7 +299,11 @@ class Aligner:
         # regardless of count; below ~6% of the batch the host oracle
         # (~0.7 ms/read, overlapped with the next batch's device work) is
         # cheaper. At genome scale overflow rates are far above the gate
-        # and tier-2 still runs.
+        # and tier-2 still runs. NOTE the overlap argument holds for the
+        # streamed paths (align_se_stream/align_pe_stream); in plain
+        # align_se/align_pe the sub-gate oracle realignments run serially
+        # on the finish path — acceptable, those entry points are the
+        # non-production compile/debug ones.
         if len(rows) < max(self.TIER2_MIN, batch.n // 16):
             return None
         pad = (-len(rows)) % self.TIER2_ROWS

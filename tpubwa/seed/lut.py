@@ -408,8 +408,11 @@ def _walk_lut(didx: DeviceIndex, lut: KmerLUT, seqs: jnp.ndarray,
         live = good & ~new_sa & (bd > 0)
         return t + 1, kd, sd, bd, live, sad
 
+    # 2 FM steps per iteration: fm_body freezes dead lanes, so body∘body
+    # is exact and halves the dispatch-bound loop overhead
     it, kd, sd, bd, _, sad = jax.lax.while_loop(
-        lambda st: jnp.any(st[4]) & (st[0] < L), fm_body,
+        lambda st: jnp.any(st[4]) & (st[0] < L),
+        lambda st: fm_body(fm_body(st)),
         (jnp.int32(0), kd, sd, bd, dvalid & fm_f[srcc], jnp.zeros((D,), bool)))
 
     # write back: one packed row gather (B*L, 4); bd/sad ride along in the

@@ -26,7 +26,7 @@ sys.path.insert(0, str(REPO))
 BASELINE_READS_PER_S = 250_000.0
 GENOME_LEN = 4_600_000
 READ_LEN = 100
-BATCH = int(os.environ.get("TPUBWA_BENCH_BATCH", 8192))
+BATCH = int(os.environ.get("TPUBWA_BENCH_BATCH", 4096))
 TIMED_BATCHES = int(os.environ.get("TPUBWA_BENCH_TIMED", 8))
 N_READS = BATCH * (TIMED_BATCHES + 1)
 ERROR_RATE = 0.01

@@ -124,3 +124,42 @@ def test_cli_two_file_pe(tmp_path):
     flags = [int(l.split("\t")[1]) for l in ose.read_text().splitlines()
              if not l.startswith("@")]
     assert all(f & 0x1 == 0 for f in flags)
+
+
+def test_cli_shard_resume_streamed_device(tmp_path):
+    """--shard-dir now streams through the pipelined device path; a
+    pre-marked manifest batch is skipped and read numbering stays global."""
+    import subprocess, sys, os, json
+    idx, orc, fwd = make_world()
+    fa = tmp_path / "g.fa"
+    fa.write_text(">cA\n" + dna.decode(fwd[:5000]) + "\n>cB\n" +
+                  dna.decode(fwd[5000:]) + "\n")
+    fq = tmp_path / "r.fq"
+    fastx.write_fastq(fq, fastx.simulate_reads(fwd, 20, read_len=100,
+                                               seed=4))
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [str(__import__("pathlib").Path(__file__).parents[1])] +
+        os.environ.get("PYTHONPATH", "").split(os.pathsep)))
+    npz = tmp_path / "g.npz"
+    r = subprocess.run([sys.executable, "-m", "tpubwa", "index", str(fa),
+                        "-o", str(npz)], env=env, capture_output=True)
+    assert r.returncode == 0, r.stderr
+    sd = tmp_path / "shards"
+    sd.mkdir()
+    # pre-mark batch 0 as done: the streamed path must skip it and keep
+    # batches 1..2 at their global ids
+    (sd / "manifest.jsonl").write_text(
+        json.dumps({"batch": 0, "n": 8, "path": "pre"}) + "\n")
+    cmd = [sys.executable, "-m", "tpubwa", "align", str(npz), str(fq),
+           "--platform", "cpu", "--batch-size", "8",
+           "--shard-dir", str(sd)]
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not (sd / "shard_000000.sam").exists()
+    s1 = (sd / "shard_000001.sam").read_text()
+    s2 = (sd / "shard_000002.sam").read_text()
+    assert s1.count("\n") >= 8 and s2.count("\n") >= 4
+    # matches a straight oracle run of the same slice (global numbering)
+    recs = list(fastx.iter_fastq(fq))
+    want = orc.align_se(fastx.batch_reads(recs[8:16]), MemOptions(), id0=8)
+    assert s1 == want

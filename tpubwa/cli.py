@@ -145,7 +145,12 @@ def cmd_align(a) -> int:
               file=sys.stderr)
 
     idx = FMIndex.load(a.index)
-    aln = Aligner(idx, opt, rg_id=a.read_group)
+    # k-mer LUT cache: default next to the index (one LUT per index), or
+    # an explicit TPUBWA_LUT_CACHE path (the scale scripts pre-build it)
+    import os
+    lut_cache = os.environ.get("TPUBWA_LUT_CACHE") or \
+        (a.index + f".lut_k.npz")
+    aln = Aligner(idx, opt, rg_id=a.read_group, lut_cache=lut_cache)
 
     manifest = None
     shard_dir = None
@@ -208,21 +213,50 @@ def cmd_align(a) -> int:
             if pend:
                 yield batch_reads(pend)
 
-        # fast path: device alignment with a plain output file — stream
-        # batches through the pipelined aligner (device computes batch i+1
-        # while the host finishes batch i); SE and PE both pipeline
-        if not a.oracle and manifest is None:
-            stream = (aln.align_pe_stream(batch_iter(), id0=a.id0 // 2)
-                      if a.paired
-                      else aln.align_se_stream(batch_iter(), id0=a.id0))
+        # fast path: device alignment — stream batches through the
+        # pipelined aligner (device computes batch i+1 while the host
+        # finishes batch i); SE and PE both pipeline. Covers both the
+        # plain-output and the resumable --shard-dir flows (multihost PE
+        # keeps the lockstep batch loop below so skipped batches hold the
+        # global pestat reduce sequence in order).
+        if not a.oracle and not (manifest is not None and a.multihost
+                                 and a.paired):
+            from collections import deque
+            fed: deque = deque()
+
+            def feeder():
+                no = 0
+                idc = a.id0
+                for batch in batch_iter():
+                    i0 = idc // 2 if a.paired else idc
+                    if manifest is None or not manifest.is_done(no):
+                        fed.append((no, batch.n))
+                        yield (batch, i0)
+                    idc += batch.n
+                    no += 1
+
+            stream = (aln.align_pe_stream(feeder())
+                      if a.paired else aln.align_se_stream(feeder()))
+            t_b = time.time()
             for sam in stream:
-                out.write(sam)
+                no, cnt = fed.popleft()
+                if manifest is not None:
+                    shard = shard_dir / f"shard_{no:06d}.sam"
+                    shard.write_text(sam)
+                    manifest.mark(no, cnt, str(shard))
+                    dt_b = time.time() - t_b
+                    print(f"[tpubwa align] batch {no}: {cnt} reads in "
+                          f"{dt_b:.2f}s ({cnt / max(dt_b, 1e-9):.0f} "
+                          f"reads/s)", file=sys.stderr)
+                    t_b = time.time()
+                else:
+                    out.write(sam)
                 n_done += sam.count("\n")
                 batch_no += 1
             dt = time.time() - t0
             print(f"[tpubwa align] total {n_done} records in {dt:.1f}s "
                   f"({n_done / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
-            if out is not sys.stdout:
+            if out is not None and out is not sys.stdout:
                 out.close()
             _mh_done(a)
             return 0

@@ -550,23 +550,31 @@ def _extend_taskpar(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict, st,
         st["rb"] = st["rb"] + pre[:, 1].reshape(B, S)[:, :1]
         return st
 
-    # ---- phase 4: exact kernel-free replay ----
-    sel_cond, sel_body, _, act_fn = _engine(didx, cfg, ctx)
+    # ---- phase 4: exact kernel-free replay. One fused step processes
+    # ONE seed per read (skip OR push its precomputed region) — exactly
+    # the scalar visit semantics — so the loop runs max(n_pairs) steps
+    # total; steps are unrolled 4x (a step is a no-op for finished reads)
+    # to amortize the dispatch-bound launch overhead ----
+    _, _, _, _, containment_skip = _engine(didx, cfg, ctx,
+                                           want_skip_fn=True)
     r_iota = jnp.arange(R, dtype=jnp.int32)[None, :]
 
-    def push_pre(stt):
+    def step(stt):
         p = jnp.clip(stt["ptr"], 0, S - 1)
         slot = _row_pick(pair_order, p)
-        active = stt["ptr"] < n_pairs
+        skip, active = containment_skip(stt)
+        stt = dict(stt)
+        oh = (s_iota == slot[:, None]) & skip[:, None]
+        stt["skipped"] = stt["skipped"] | oh
+        do_push = active & ~skip
         fidx = jnp.clip(rows32 * S + slot, 0, B * S - 1)
         v = pre[fidx]
-        have = (v[:, 11] > 0) & active
+        have = (v[:, 11] > 0) & do_push
         rb = _join64(v[:, 0], v[:, 1]).astype(pos_dt)
         re = rb + v[:, 2]
         room = stt["n"] < R
         do = have & room
-        stt = dict(stt)
-        stt["overflow"] = stt["overflow"] | (active & ~have) | \
+        stt["overflow"] = stt["overflow"] | (do_push & ~have) | \
             (have & ~room)
         tgt = jnp.where(do, stt["n"], R)
         oh_tgt = r_iota == tgt[:, None]
@@ -589,25 +597,24 @@ def _extend_taskpar(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict, st,
         stt["ptr"] = stt["ptr"] + active.astype(jnp.int32)
         return stt
 
-    def replay_body(stt):
-        # 2 skip-advances per iteration: sel_body is a no-op for reads
-        # whose current seed isn't skippable, so body∘body is exact and
-        # halves the dispatch-bound loop overhead
-        stt = jax.lax.while_loop(sel_cond,
-                                 lambda s: sel_body(sel_body(s)), stt)
-        return jax.lax.cond(jnp.any(act_fn(stt)), push_pre,
-                            lambda s: s, stt)
+    def step4(stt):
+        for _ in range(4):
+            stt = step(stt)
+        return stt
 
     st = jax.lax.while_loop(lambda s: jnp.any(s["ptr"] < n_pairs),
-                            replay_body, st)
+                            step4, st)
     return st
 
 
-def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
+def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict,
+            want_skip_fn: bool = False):
     """Build the per-round machinery over a row set (full batch or a
     compacted sub-batch): containment-skip advance, one-seed-per-read
     banded extension, and the active predicate. All lookups are one-hot
-    VPU selects; ctx rows define the batch width."""
+    VPU selects; ctx rows define the batch width. With want_skip_fn, the
+    raw containment_skip predicate is appended to the return tuple (the
+    task-parallel replay fuses it with its precomputed pushes)."""
     pair_order = ctx["pair_order"]
     n_pairs = ctx["n_pairs"]
     qbeg_s, rbeg_s, len_s = ctx["qbeg_s"], ctx["rbeg_s"], ctx["len_s"]
@@ -740,6 +747,8 @@ def _engine(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict):
     def act_fn(st):
         return st["ptr"] < n_pairs
 
+    if want_skip_fn:
+        return sel_cond, sel_body, run_extension, act_fn, containment_skip
     return sel_cond, sel_body, run_extension, act_fn
 
 

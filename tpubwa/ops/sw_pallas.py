@@ -250,11 +250,14 @@ def _local_kernel(q_ref, t_ref, scal_ref, out_ref, *, T, LANES, o_del,
 
     zrow = jnp.zeros((N, LANES), jnp.int32)
     z1 = jnp.zeros((N, 1), jnp.int32)
+    # per-row maxima scratch exists only for the score2 run-tracking pass;
+    # the want_sub=False reverse pass carries a 1-wide dummy (and its
+    # callers budget VMEM at 2 rows of T instead of 3)
     init = (z1,                     # i
             zrow, zrow,             # H, E
             z1,                     # best
             z1 - 1, z1 - 1,         # te, qe
-            jnp.zeros((N, T), jnp.int32))  # per-row maxima
+            jnp.zeros((N, T if want_sub else 1), jnp.int32))
 
     def cond(st):
         i = st[0]

@@ -118,12 +118,14 @@ def _rescue_batch_device(didx, seqs, lens, mate_row, is_rev, rb, wlen,
                            jnp.ones(q.shape[0], bool), *kw)
 
 
-def run_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
-                     use_pallas):
-    """Host driver: task rows (n, 8) int64 (pair, end, j, dir, is_rev, rb,
-    re, rid) -> (n, 7) int32 ksw_align results via one device call."""
+def dispatch_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
+                          use_pallas):
+    """Enqueue the rescue device call WITHOUT blocking. Returns (device
+    array, n) — download with `np.asarray(dev)[:n]` when the result is
+    actually needed (the PE stream overlaps this with the next batch's
+    worker1)."""
     if len(tasks) == 0:
-        return np.zeros((0, 7), np.int32)
+        return None, 0
     n = len(tasks)
     pad = (-n) % 64    # bound the distinct jit shapes
     if pad:
@@ -143,4 +145,15 @@ def run_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
         jnp.asarray(rb.astype(np.int64 if didx.pos_dtype == jnp.int64
                               else np.int32)),
         jnp.asarray(wlen), T, int(opt.min_seed_len * opt.a), kw)
-    return np.asarray(out, np.int32)[:n]
+    return out, n
+
+
+def run_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
+                     use_pallas):
+    """Blocking driver: task rows (n, 8) int64 (pair, end, j, dir, is_rev,
+    rb, re, rid) -> (n, 7) int32 ksw_align results via one device call."""
+    dev, n = dispatch_rescue_tasks(didx, batch_seqs, batch_lens, tasks,
+                                   id0, opt, use_pallas)
+    if dev is None:
+        return np.zeros((0, 7), np.int32)
+    return np.asarray(dev, np.int32)[:n]

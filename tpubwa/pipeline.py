@@ -37,7 +37,8 @@ REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
 
 def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                       max_chains=32, max_regs=32, seed_impl="lut",
-                      text_len: int | None = None):
+                      text_len: int | None = None,
+                      seed_kw: dict | None = None):
     if seed_impl == "lut":
         # dense-walk budgets scale with the genome: the k-mer jump table is
         # capped at k0 <= 12, so on a large text most length-k0 intervals
@@ -59,12 +60,12 @@ def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
         # (scripts/tune_budgets.py + time_stages.py, round 4)
         fm_dense = 16 if text_len < 1 << 30 else 8
         offdiag_dense = 8 if text_len < 1 << 26 else 4
-        scfg = LutSeedConfig(max_smems=max_smems,
-                             min_seed_len=opt.min_seed_len,
-                             split_len=opt.split_len,
-                             split_width=opt.split_width,
-                             fm_full=fm_full, fm_dense=fm_dense,
-                             offdiag_dense=offdiag_dense)
+        kw = dict(max_smems=max_smems, min_seed_len=opt.min_seed_len,
+                  split_len=opt.split_len, split_width=opt.split_width,
+                  fm_full=fm_full, fm_dense=fm_dense,
+                  offdiag_dense=offdiag_dense)
+        kw.update(seed_kw or {})
+        scfg = LutSeedConfig(**kw)
     else:
         scfg = AnchorSeedConfig(max_smems=max_smems,
                                 min_seed_len=opt.min_seed_len,
@@ -100,6 +101,7 @@ class Aligner:
         self.didx = DeviceIndex.from_host(idx)
         self.oracle = Oracle(idx)
         self.seed_impl = seed_impl
+        self._explicit_caps = dict(caps)
         self.scfg, self.ccfg, self.ecfg = configs_from_opts(
             opt, seed_impl=seed_impl, text_len=2 * int(idx.l_pac), **caps)
         self.lut = (KmerLUT.build(idx, min_seed_len=opt.min_seed_len,
@@ -127,6 +129,43 @@ class Aligner:
     # fall back to the oracle (mean regs/read is ~1 on real data)
     CAP_FACTOR = 4
 
+    # tier-1 caps scale with read length: a 150 bp read legitimately
+    # carries ~1.5x the SMEMs/seeds of a 100 bp read, and an undersized
+    # cap routes 5-8% of PE batches through the ~1 s blocking tier-2 call
+    # (the round-4 PE/SE gap). Buckets keep the jit count bounded.
+    # longer reads also carry MORE 2nd-round reseed candidates (>3 at
+    # 150 bp on repeat-rich genomes) — measured: max_reseed=6 + full-width
+    # r=1 + a wider off-diagonal budget take 150 bp overflow from 11% to 0
+    _CAP_BUCKETS = ((100, {}),
+                    (160, dict(max_smems=48, max_seeds=192,
+                               max_chains=48, max_regs=48,
+                               seed_kw=dict(max_reseed=6, r2_rows=1,
+                                            offdiag_dense=4))),
+                    (1 << 30, dict(max_smems=63, max_seeds=288,
+                                   max_chains=63, max_regs=63,
+                                   seed_kw=dict(max_reseed=6, r2_rows=1,
+                                                offdiag_dense=4))))
+
+    def _packed_for_len(self, L: int):
+        """The packed worker1 jit whose caps match read length L."""
+        if self._explicit_caps or L <= self._CAP_BUCKETS[0][0]:
+            if self._packed_fn is None:
+                self._packed_fn = self._make_packed(self.scfg, self.ccfg,
+                                                    self.ecfg)
+            return self._packed_fn
+        fns = getattr(self, "_packed_by_len", None)
+        if fns is None:
+            fns = self._packed_by_len = {}
+        for bound, caps in self._CAP_BUCKETS[1:]:
+            if L <= bound:
+                break
+        if bound not in fns:
+            scfg, ccfg, ecfg = configs_from_opts(
+                self.opt, seed_impl=self.seed_impl,
+                text_len=2 * int(self.idx.l_pac), **caps)
+            fns[bound] = self._make_packed(scfg, ccfg, ecfg)
+        return fns[bound]
+
     def worker1_packed(self, seqs: jnp.ndarray, lens: jnp.ndarray):
         """worker1 with all outputs compacted + bit-packed into ONE int32
         array so a single, small host transfer suffices (device->host
@@ -145,10 +184,8 @@ class Aligner:
         budgets (or whose regs would overflow cap) gets overflow=1, n_eff=0
         and is realigned by the oracle, so packing never affects output.
         """
-        if self._packed_fn is None:
-            self._packed_fn = self._make_packed(self.scfg, self.ccfg,
-                                                self.ecfg)
-        return self._packed_fn(self.didx, self.lut, seqs, lens)
+        return self._packed_for_len(int(seqs.shape[1]))(
+            self.didx, self.lut, seqs, lens)
 
     def _make_packed(self, scfg, ccfg, ecfg):
         R = ecfg.max_regs
@@ -268,7 +305,8 @@ class Aligner:
                 text_len=2 * int(self.idx.l_pac), **big)
             if isinstance(scfg, LutSeedConfig):
                 scfg = dataclasses.replace(scfg, fm_dense=4,
-                                           offdiag_dense=2, r2_rows=1)
+                                           offdiag_dense=2, r2_rows=1,
+                                           max_reseed=8)
             # tier-2 reads can need up to max_chains extensions each — the
             # candidate-budget superset of the task-parallel engine would
             # overflow them; the round engine has no per-read task cap
@@ -416,10 +454,17 @@ class Aligner:
         device computes batch i+1 while the host downloads/finishes batch i
         — the Spark-free analog of the reference's overlapping stages.
         Yields SAM body text per batch, in order.
+
+        Items may also be (ReadBatch, explicit_id0) pairs — used by the
+        resumable CLI shard path, where skipped (already-done) batches
+        leave gaps in the global read numbering.
         """
         pending: list[tuple[ReadBatch, object, int]] = []
         n = id0
-        for b in batches:
+        for item in batches:
+            b, i0 = item if isinstance(item, tuple) else (item, None)
+            if i0 is not None:
+                n = i0
             pending.append((b, self._dispatch_se(b), n))
             n += b.n
             if len(pending) >= depth:
@@ -567,21 +612,36 @@ class Aligner:
         return self._finish_pe_buf(batch, buf, id0)
 
     def align_pe_stream(self, batches, id0: int = 0, depth: int = 2):
-        """Pipelined PE alignment (the align_se_stream analog): worker1 for
-        batch i+1 is in flight while the host finishes batch i (the rescue
-        kernel call interleaves on-device). Yields SAM text per batch."""
-        pending: list[tuple[ReadBatch, object, int]] = []
+        """Pipelined PE alignment. Dispatch ORDER is the whole game: the
+        device queue is FIFO, so batch i's small PE calls (pestat psum,
+        rescue kernel) must be enqueued BEFORE batch i+1's worker1 — else
+        each waits out a ~worker1 of queue latency (the round-4 4x PE/SE
+        gap). Per batch: download worker1 -> stage A (host isize, psum,
+        hist, native task gen, rescue DISPATCH) -> enqueue next worker1 ->
+        stage B (rescue download + native pair/SAM, overlapped with the
+        next batch's device time). Yields SAM text per batch."""
+        prev: tuple[ReadBatch, object, int] | None = None
         n = id0
-        for b in batches:
-            seqs = jnp.asarray(b.seqs)
-            lens = jnp.asarray(b.lens)
-            pending.append((b, self.worker1_packed(seqs, lens), n))
+        for item in batches:
+            b, i0x = item if isinstance(item, tuple) else (item, None)
+            if i0x is not None:
+                n = i0x
+            if prev is not None:
+                bb, dev, i0 = prev
+                ctx = self._pe_stage_a(bb, np.asarray(dev), i0)
+                devb = self.worker1_packed(jnp.asarray(b.seqs),
+                                           jnp.asarray(b.lens))
+                sam = self._pe_stage_b(ctx)
+                yield sam
+            else:
+                devb = self.worker1_packed(jnp.asarray(b.seqs),
+                                           jnp.asarray(b.lens))
+            prev = (b, devb, n)
             n += b.n // 2
-            if len(pending) >= depth:
-                bb, dev, i0 = pending.pop(0)
-                yield self._finish_pe_buf(bb, np.asarray(dev), i0)
-        for bb, dev, i0 in pending:
-            yield self._finish_pe_buf(bb, np.asarray(dev), i0)
+        if prev is not None:
+            bb, dev, i0 = prev
+            yield self._pe_stage_b(self._pe_stage_a(bb, np.asarray(dev),
+                                                    i0))
 
     def _pe_mesh(self):
         if self._mesh is None:
@@ -591,8 +651,16 @@ class Aligner:
 
     def _finish_pe_buf(self, batch: ReadBatch, buf: np.ndarray,
                        id0: int) -> str:
+        return self._pe_stage_b(self._pe_stage_a(batch, buf, id0))
+
+    def _pe_stage_a(self, batch: ReadBatch, buf: np.ndarray, id0: int):
+        """PE finish, part A: unpack + tier-2 + native isize sampling +
+        pestat histogram collective + native rescue-task generation +
+        rescue kernel DISPATCH. Returns the context for _pe_stage_b with
+        the rescue device call in flight (nothing downloads it here), so
+        the stream can enqueue the next batch's worker1 behind it."""
         from .dist.mesh import pe_hist_psum
-        from .pair.rescue import run_rescue_tasks
+        from .pair.rescue import dispatch_rescue_tasks
         opt_pe = self.opt.replace(flag=self.opt.flag | MemOptions.F_PE)
         n, ovf, l_rep, flat = self._unpack_host(buf, batch.n)
         if ovf.any():
@@ -634,20 +702,35 @@ class Aligner:
         hist = hist_allreduce(hist)   # DCN leg; no-op single-process
         hist_h = np.ascontiguousarray(hist, dtype=np.int64)
 
-        # ---- mate rescue: one batched device local-alignment call ----
+        # ---- mate rescue: one batched device local-alignment call,
+        # dispatched async ----
         rowsp = C.POINTER(C.c_int64)()
         n_t = lib.tb_pe_rescue_tasks(
             self.oracle._h, C.byref(copt), seqs_h, lens_h, batch.n, stride,
             flat_h, n_h, lrep_h, hist_h.ctypes.data_as(C.c_void_p),
             self.opt.max_ins, id0, C.byref(rowsp))
         self.stats["rescue_tasks"] = self.stats.get("rescue_tasks", 0) + n_t
+        tasks = res_dev = None
         if n_t:
             tasks = np.ctypeslib.as_array(
                 rowsp, shape=(n_t * 8,)).reshape(n_t, 8).copy()
-            res = run_rescue_tasks(self.didx, batch.seqs, batch.lens,
-                                   tasks, id0, self.opt,
-                                   self.ecfg.use_pallas)
-            tasks_h = np.ascontiguousarray(tasks)
+            res_dev, _ = dispatch_rescue_tasks(
+                self.didx, batch.seqs, batch.lens, tasks, id0, self.opt,
+                self.ecfg.use_pallas)
+        return dict(batch=batch, id0=id0, copt=copt, seqs_h=seqs_h,
+                    lens_h=lens_h, flat_h=flat_h, n_h=n_h, lrep_h=lrep_h,
+                    stride=stride, hist_h=hist_h, n_t=n_t, tasks=tasks,
+                    res_dev=res_dev)
+
+    def _pe_stage_b(self, ctx: dict) -> str:
+        """PE finish, part B: download the rescue results (blocks on the
+        device) and run the native pairing/flags/TLEN/SAM replay."""
+        batch = ctx["batch"]
+        lib = self.oracle._lib
+        n_t = ctx["n_t"]
+        if n_t:
+            res = np.asarray(ctx["res_dev"], np.int32)[:n_t]
+            tasks_h = np.ascontiguousarray(ctx["tasks"])
             res_h = np.ascontiguousarray(res)
             tasks_p = tasks_h.ctypes.data_as(C.c_void_p)
             res_p = res_h.ctypes.data_as(C.c_void_p)
@@ -659,10 +742,11 @@ class Aligner:
             *[(q or "").encode() for q in batch.quals])
         out_len = C.c_int64(0)
         ptr = lib.tb_finish_pe_sam(
-            self.oracle._h, C.byref(copt), seqs_h, lens_h, names,
-            quals, batch.n, stride, flat_h, n_h, lrep_h,
-            hist_h.ctypes.data_as(C.c_void_p), self.opt.max_ins,
-            tasks_p, res_p, n_t, id0, self.rg_id.encode(),
+            self.oracle._h, C.byref(ctx["copt"]), ctx["seqs_h"],
+            ctx["lens_h"], names, quals, batch.n, ctx["stride"],
+            ctx["flat_h"], ctx["n_h"], ctx["lrep_h"],
+            ctx["hist_h"].ctypes.data_as(C.c_void_p), self.opt.max_ins,
+            tasks_p, res_p, n_t, ctx["id0"], self.rg_id.encode(),
             C.byref(out_len))
         return C.string_at(ptr, out_len.value).decode()
 

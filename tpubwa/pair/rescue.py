@@ -127,7 +127,14 @@ def dispatch_rescue_tasks(didx, batch_seqs, batch_lens, tasks, id0, opt,
     if len(tasks) == 0:
         return None, 0
     n = len(tasks)
-    pad = (-n) % 64    # bound the distinct jit shapes
+    # power-of-2 task-count buckets: a 64-multiple quantum still produced
+    # a fresh kernel COMPILE (~minutes on remote TPU) for nearly every
+    # batch; pow2 buckets make the shape set tiny and stable. Padded rows
+    # are tlen-sorted into tiles that exit after one DP row.
+    cap = 256
+    while cap < n:
+        cap <<= 1
+    pad = cap - n
     if pad:
         tasks = np.concatenate(
             [tasks, np.tile(tasks[-1:], (pad, 1))], axis=0)

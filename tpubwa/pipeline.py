@@ -139,7 +139,7 @@ class Aligner:
     _CAP_BUCKETS = ((100, {}),
                     (160, dict(max_smems=48, max_seeds=192,
                                max_chains=48, max_regs=48,
-                               seed_kw=dict(max_reseed=6, r2_rows=1,
+                               seed_kw=dict(max_reseed=5, r2_rows=1,
                                             offdiag_dense=4))),
                     (1 << 30, dict(max_smems=63, max_seeds=288,
                                    max_chains=63, max_regs=63,

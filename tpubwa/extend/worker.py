@@ -53,7 +53,9 @@ class ExtendConfig:
     # replayed kernel-free; the round engine above remains for the
     # big-caps tier (unbounded extensions/read) and as an A/B reference
     task_parallel: bool = True
-    cand_rows: int = 1        # candidate task budget: B // cand_rows
+    cand_rows: int = 1        # candidate task budget: B*cand_mult // cand_rows
+    cand_mult: int = 1        # >1 on repeat-rich large genomes (more
+    #                           surviving extensions per read)
     retry_rows: int = 8       # compacted band-retry sub-batch: B // retry_rows
 
 
@@ -496,7 +498,7 @@ def _extend_taskpar(didx: DeviceIndex, cfg: ExtendConfig, ctx: dict, st,
         return st
 
     # ---- phase 3: flat candidate task batch ----
-    K = max(B // cfg.cand_rows, 64)
+    K = max(B * cfg.cand_mult // max(cfg.cand_rows, 1), 64)
     flat_cand = cand.reshape(-1)
     cs = jnp.cumsum(flat_cand.astype(jnp.int32))
     tpos = cs - 1

@@ -85,7 +85,8 @@ def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                         pen_clip5=opt.pen_clip5, pen_clip3=opt.pen_clip3,
                         use_pallas=use_pallas,
                         full_rounds=2 if big else 1,
-                        tail_rows=4 if big else 8)
+                        tail_rows=4 if big else 8,
+                        cand_mult=4 if big else 1)
     return scfg, ccfg, ecfg
 
 

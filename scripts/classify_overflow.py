@@ -30,15 +30,22 @@ def main():
 
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     mbp = int(sys.argv[2]) if len(sys.argv) > 2 else 3100
+    print("loading genome...", flush=True)
     g = SC.get_genome(mbp)
+    print("loading index...", flush=True)
     idx = SC.get_index(mbp, g)
+    print("native oracle init...", flush=True)
     orc = Oracle(idx)
     opt = MemOptions()
 
+    print("simulating reads...", flush=True)
     recs = fastx.simulate_reads(np.asarray(g), n_reads, read_len=100,
                                 error_rate=0.01, indel_rate=0.001, seed=3)
     bb = fastx.batch_reads(recs, max_len=100)
+    print("classifying...", flush=True)
 
+    import os
+    fast = os.environ.get("TPUBWA_CLASSIFY_FAST", "1") == "1"
     T1 = dict(smems=32, seeds=128, chains=32, regs=32)
     T2 = dict(smems=63, seeds=640, chains=64, regs=63)
     c = Counter()
@@ -49,10 +56,13 @@ def main():
         occ = np.minimum(sm[:, 3], opt.max_occ) if len(sm) else np.array([])
         n_smem = len(sm)
         n_seed = int(occ.sum()) if len(sm) else 0
-        ch = orc.chains(seq, opt, filtered=False)
-        n_chain = len(ch)
-        rg = orc.regs_pre(seq, opt)[0]
-        n_reg = len(rg)
+        if fast:
+            # chains/regs caps almost never bind alone; smem+seed counts
+            # are enough to size tier caps and cost pennies per read
+            n_chain = n_reg = 0
+        else:
+            n_chain = len(orc.chains(seq, opt, filtered=False))
+            n_reg = len(orc.regs_pre(seq, opt)[0])
         seed_tot.append(n_seed)
         over1 = (n_smem > T1["smems"] or n_seed > T1["seeds"]
                  or n_chain > T1["chains"] or n_reg > T1["regs"])
@@ -67,6 +77,8 @@ def main():
                          regs=n_reg)[k]
                 if v > cap:
                     c[f"t2_cap_{k}"] += 1
+        if (i + 1) % 256 == 0:
+            print(f"  {i + 1}/{bb.n}", flush=True)
     st = np.array(seed_tot)
     out = {
         "n_reads": bb.n, "genome_mbp": mbp,

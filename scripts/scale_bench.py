@@ -56,11 +56,15 @@ def main():
 
     t1 = time.time()
     aln.stats = {"reads": 0, "fallback_reads": 0}
+    # streamed: tier-2 dispatches and host-oracle fallback overlap the
+    # next batch's device work, as in the production CLI path
     sams = []
     n = 0
-    for b in batches:
-        sams.append(aln.align_se(b, id0=n))
-        n += b.n
+    for sam in aln.align_se_stream(batches, id0=0):
+        sams.append(sam)
+        n += sam.count("\n")
+        print(f"  batch done: {n} records, {time.time() - t1:.1f}s",
+              file=sys.stderr, flush=True)
     dt = time.time() - t1
 
     # ---- oracle SAM parity (byte-exact) on a prefix of the read set ----

@@ -38,7 +38,8 @@ REG_FIELDS = ("rb", "re", "qb", "qe", "score", "truesc", "w", "seedcov",
 def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                       max_chains=32, max_regs=32, seed_impl="lut",
                       text_len: int | None = None,
-                      seed_kw: dict | None = None):
+                      seed_kw: dict | None = None,
+                      sa_dense: int | None = None):
     if seed_impl == "lut":
         # dense-walk budgets scale with the genome: the k-mer jump table is
         # capped at k0 <= 12, so on a large text most length-k0 intervals
@@ -71,14 +72,24 @@ def configs_from_opts(opt: MemOptions, max_smems=32, max_seeds=128,
                                 min_seed_len=opt.min_seed_len,
                                 split_len=opt.split_len,
                                 split_width=opt.split_width)
+    use_pallas = jax.default_backend() == "tpu"
+    big = text_len is not None and text_len >= 1 << 30
+    if sa_dense is None:
+        # the dense SA-walk budget must hold the batch's TOTAL seed count:
+        # on repeat-rich Gbp genomes the p50 read carries ~36 seeds and the
+        # p90 ~177 (scripts/classify_overflow.py at 1.1 Gbp), so the
+        # average-8 budget silently overflowed ~13% of reads to the host
+        # oracle — the round-4 genome-scale wall. sa_dense=max_seeds can
+        # never overflow; small genomes keep the lean budget (their walk
+        # is also 8x shorter at sa_intv=4).
+        sa_dense = max_seeds if big else 8
     ccfg = ChainConfig(max_seeds=max_seeds, max_chains=max_chains,
                        max_occ=opt.max_occ, max_chain_gap=opt.max_chain_gap,
                        w=opt.w, min_seed_len=opt.min_seed_len,
                        mask_level=opt.mask_level, drop_ratio=opt.drop_ratio,
                        max_chain_extend=min(opt.max_chain_extend, 1 << 30),
-                       min_chain_weight=opt.min_chain_weight)
-    use_pallas = jax.default_backend() == "tpu"
-    big = text_len is not None and text_len >= 1 << 30
+                       min_chain_weight=opt.min_chain_weight,
+                       sa_dense=sa_dense)
     ecfg = ExtendConfig(max_regs=max_regs, w=opt.w, zdrop=opt.zdrop, a=opt.a,
                         b=opt.b, o_del=opt.o_del, e_del=opt.e_del,
                         o_ins=opt.o_ins, e_ins=opt.e_ins,
@@ -303,16 +314,21 @@ class Aligner:
                        max_regs=63)
             scfg, ccfg, ecfg = configs_from_opts(
                 self.opt, seed_impl=self.seed_impl,
-                text_len=2 * int(self.idx.l_pac), **big)
+                text_len=2 * int(self.idx.l_pac), sa_dense=640, **big)
             if isinstance(scfg, LutSeedConfig):
                 scfg = dataclasses.replace(scfg, fm_dense=4,
                                            offdiag_dense=2, r2_rows=1,
                                            max_reseed=8)
-            # tier-2 reads can need up to max_chains extensions each — the
-            # candidate-budget superset of the task-parallel engine would
-            # overflow them; the round engine has no per-read task cap
+            # tier-2 reads are repeat-dense (up to max_chains extensions
+            # each), which made the ROUND engine run tens of sequential
+            # window+kernel rounds per call at genome scale; the
+            # task-parallel engine with a 16x candidate budget covers the
+            # worst single read (640 seeds) and turns that into one flat
+            # kernel batch. Reads beyond the budget fall to the oracle —
+            # the same failure mode the seed cap already has.
             ecfg = dataclasses.replace(ecfg, tail_rows=1,
-                                       task_parallel=False)
+                                       task_parallel=True,
+                                       cand_mult=16, retry_rows=2)
             self._packed_big = self._make_packed(scfg, ccfg, ecfg)
         return self._packed_big
 

@@ -42,3 +42,39 @@ def test_repeat_read_uses_tier2_not_oracle(world):
     assert dev == want
     # the repeat read must have been rescued by tier-2, not the oracle
     assert aln.stats["fallback_reads"] == 0
+
+
+@pytest.fixture(scope="module")
+def world3():
+    # ~800 near-identical copies: one SMEM family yields ~800 seeds —
+    # beyond tier-2's 640 cap, inside tier-3's 1280
+    rng = np.random.default_rng(56)
+    unit = rng.integers(0, 4, 120).astype(np.uint8)
+    parts = [rng.integers(0, 4, 2000).astype(np.uint8)]
+    for _ in range(800):
+        c = unit.copy()
+        p = rng.integers(0, 120, 1)
+        c[p] = (c[p] + 1) % 4
+        parts.append(c)
+        parts.append(rng.integers(0, 4, 10).astype(np.uint8))
+    parts.append(rng.integers(0, 4, 2000).astype(np.uint8))
+    g = np.concatenate(parts)
+    idx = build_index([("rep3", dna.decode(g))])
+    # TIER3_MIN=8 would skip a single overflow read; force the path
+    aln = Aligner(idx)
+    aln.TIER3_MIN = 1
+    return idx, aln, g, unit
+
+
+def test_megarepeat_read_uses_tier3_not_oracle(world3):
+    idx, aln, g, unit = world3
+    rng = np.random.default_rng(7)
+    recs = [fastx.FastxRecord(f"u_{i}", dna.decode(g[p:p + 100]))
+            for i, p in enumerate(rng.integers(0, 1900, 6))]
+    recs.append(fastx.FastxRecord("rep_read", dna.decode(unit[:100])))
+    batch = fastx.batch_reads(recs, max_len=100)
+    aln.stats = {"reads": 0, "fallback_reads": 0}
+    dev = aln.align_se(batch, id0=0)
+    want = aln.oracle.align_se(batch, aln.opt, id0=0)
+    assert dev == want
+    assert aln.stats["fallback_reads"] == 0

@@ -199,16 +199,18 @@ class Aligner:
         return self._packed_for_len(int(seqs.shape[1]))(
             self.didx, self.lut, seqs, lens)
 
-    def _make_packed(self, scfg, ccfg, ecfg):
+    def _make_packed(self, scfg, ccfg, ecfg, cap_factor: int | None = None):
         R = ecfg.max_regs
-        assert R <= 63
+        assert R <= 1023          # 10-bit count field
+        cap_factor = cap_factor if cap_factor is not None else \
+            self.CAP_FACTOR
 
         def packed(didx, lut, seqs, lens):
             seqs = seqs.astype(jnp.int32)   # uint8 over the wire
             st = self._device_inner(didx, seqs, lens, lut, scfg, ccfg,
                                     ecfg)
             B = seqs.shape[0]
-            cap = self.CAP_FACTOR * B
+            cap = cap_factor * B
             rb, re = st["rb"], st["re"]
             qb, qe = st["qb"], st["qe"]
             score, truesc = st["score"], st["truesc"]
@@ -253,8 +255,8 @@ class Aligner:
                                                     dtype=jnp.int32))
             rows = jnp.where((src < B * R)[:, None],
                              words[jnp.clip(src, 0, B * R - 1)], 0)
-            counts = (ne | ovf.astype(jnp.int32) << 6
-                      | st["l_rep"] << 7)
+            counts = (ne | ovf.astype(jnp.int32) << 10
+                      | st["l_rep"] << 11)
             return jnp.concatenate([counts, rows.reshape(-1)])
 
         return jax.jit(packed)
@@ -263,9 +265,9 @@ class Aligner:
         """Inverse of worker1_packed's packing: returns (n, ovf, l_rep,
         flat regs (total, 10) int64 in REG_FIELDS order)."""
         counts = buf[:B]
-        ne = counts & 63
-        ovf = ((counts >> 6) & 1).astype(bool)
-        l_rep = counts >> 7
+        ne = counts & 1023
+        ovf = ((counts >> 10) & 1).astype(bool)
+        l_rep = counts >> 11
         total = int(ne.sum())
         rows = buf[B:].reshape(-1, 6)[:total].astype(np.int64)
         rb = (rows[:, 5] << 32) | (rows[:, 0] & 0xFFFFFFFF)
@@ -340,6 +342,57 @@ class Aligner:
     # UNDER the next batch's device compute
     TIER2_MIN = 64
 
+    # ---- tier-3: the p99 seed tail. classify_overflow at 1.1/3.1 Gbp:
+    # seed-count p99 ~1120 > tier-2's 640 cap, and each such read costs
+    # ~0.1 s in the scalar oracle — the genome-scale wall-clock tail.
+    TIER3_ROWS = 128
+    TIER3_MIN = 8
+
+    def _packed_big3_fn(self):
+        if getattr(self, "_packed_big3", None) is None:
+            # chains AND regions scale together: a multi-repeat-family
+            # read forms ~one chain per occurrence (each a distinct kept
+            # locus), and every kept chain yields a region — bwa then
+            # marks all but one secondary. Hundreds of each.
+            big = dict(max_smems=63, max_seeds=1280, max_chains=512,
+                       max_regs=512)
+            scfg, ccfg, ecfg = configs_from_opts(
+                self.opt, seed_impl=self.seed_impl,
+                text_len=2 * int(self.idx.l_pac), sa_dense=1280, **big)
+            if isinstance(scfg, LutSeedConfig):
+                # full-width dense budgets: a tier-3 batch is ALL
+                # repeat-monsters, so per-batch survivor budgets sized for
+                # mixed traffic would overflow immediately
+                scfg = dataclasses.replace(scfg, fm_dense=1,
+                                           offdiag_dense=1, r2_rows=1,
+                                           max_reseed=8)
+            # ROUND engine here: a mega-repeat read extends hundreds of
+            # seeds and the task-parallel engine's optimistic candidate
+            # superset degenerates (round-1 containment captures almost
+            # nothing when every seed sits on a different diagonal), so
+            # the flat budget would need B*max_seeds tasks. Sequential
+            # rounds at 128 rows are ~1 s/call and exact by construction.
+            ecfg = dataclasses.replace(ecfg, tail_rows=1,
+                                       task_parallel=False, retry_rows=2)
+            self._packed_big3 = self._make_packed(scfg, ccfg, ecfg,
+                                                  cap_factor=512)
+        return self._packed_big3
+
+    def _tier3(self, batch: ReadBatch, n, ovf, l_rep, flat):
+        """Re-run remaining overflow reads (typically >640-seed repeat
+        monsters) through the 1280-seed device path; anything left after
+        this goes to the oracle."""
+        rows = np.flatnonzero(ovf)
+        if len(rows) < self.TIER3_MIN:
+            return n, ovf, l_rep, flat
+        pad = (-len(rows)) % self.TIER3_ROWS
+        rsel = np.concatenate([rows, np.repeat(rows[-1:], pad)])
+        seqs = jnp.asarray(np.ascontiguousarray(batch.seqs[rsel]))
+        lens2 = jnp.asarray(np.ascontiguousarray(batch.lens[rsel]))
+        dev = self._packed_big3_fn()(self.didx, self.lut, seqs, lens2)
+        return self._tier2_merge(batch, n, ovf, l_rep, flat,
+                                 (rows, rsel, dev))
+
     def _tier2_dispatch(self, batch: ReadBatch, ovf):
         """Issue the big-caps device call for tier-1-overflow reads.
 
@@ -391,11 +444,15 @@ class Aligner:
 
     def _tier2(self, batch: ReadBatch, n, ovf, l_rep, flat):
         """Re-run tier-1-overflow reads through the big-caps device path
-        and merge results; returns updated (n, ovf, l_rep, flat)."""
+        (then tier-3 for the seed-count tail) and merge results; returns
+        updated (n, ovf, l_rep, flat)."""
         t2 = self._tier2_dispatch(batch, ovf)
-        if t2 is None:
-            return n, ovf, l_rep, flat
-        return self._tier2_merge(batch, n, ovf, l_rep, flat, t2)
+        if t2 is not None:
+            n, ovf, l_rep, flat = self._tier2_merge(batch, n, ovf, l_rep,
+                                                    flat, t2)
+        if ovf.any():
+            n, ovf, l_rep, flat = self._tier3(batch, n, ovf, l_rep, flat)
+        return n, ovf, l_rep, flat
 
     # read-length bucket granularity (SURVEY.md §5.7 "read-length bucketing
     # so padding waste stays bounded"): a mixed-length batch is split into
@@ -499,12 +556,20 @@ class Aligner:
                          id0: int) -> str:
         self.stats["reads"] += batch.n
         t2 = self._tier2_dispatch(batch, ovf) if ovf.any() else None
-        offs_all = np.concatenate([[0], np.cumsum(n)])
         if t2 is None:
+            if ovf.any():
+                # tier-2's gate routed these to the host — but mega-repeat
+                # reads are exactly where the scalar oracle is slowest, so
+                # give the seed-tail tier a chance first (its caps are a
+                # superset of tier-2's)
+                n, ovf, l_rep, flat = self._tier3(batch, n, ovf, l_rep,
+                                                  flat)
+            offs_all = np.concatenate([[0], np.cumsum(n)])
             # any remaining overflow rows go straight to the host oracle
             self.stats["fallback_reads"] += int(ovf.sum())
             return self._finish_threaded(batch, n, ovf, l_rep, flat,
                                          offs_all, id0)
+        offs_all = np.concatenate([[0], np.cumsum(n)])
 
         # tier-2 is IN FLIGHT on the device: finish the clean reads' runs
         # on the host now so the big-caps re-run costs (almost) no wall
@@ -529,6 +594,8 @@ class Aligner:
         rows = t2[0]
         n, ovf, l_rep, flat = self._tier2_merge(batch, n, ovf, l_rep,
                                                 flat, t2)
+        if ovf.any():
+            n, ovf, l_rep, flat = self._tier3(batch, n, ovf, l_rep, flat)
         self.stats["fallback_reads"] += int(ovf.sum())
         offs2 = np.concatenate([[0], np.cumsum(n)])
         k = 0

@@ -72,8 +72,10 @@ def main():
     out["fastq_gen_s"] = gen_fastq(g, pairs, r1, r2)
 
     sd = work / "shards"
+    # 4096 reads = 2048 pairs/batch — the PE device shapes the bench
+    # already compiled (a fresh batch width would cold-compile for ~10 min)
     cmd = [sys.executable, "-m", "tpubwa", "align", str(idx_path),
-           str(r1), str(r2), "--batch-size", "16384",
+           str(r1), str(r2), "--batch-size", "4096",
            "--shard-dir", str(sd)]
     env = dict(os.environ, PYTHONPATH=os.pathsep.join(
         [str(REPO)] + os.environ.get("PYTHONPATH", "").split(os.pathsep)),
